@@ -1,0 +1,123 @@
+"""The composite NeRF model: HashGrid -> density MLP -> [feat ‖ SH(dir)] -> RGB MLP.
+
+Capability match for `NerfNetwork<T>` (reference
+include/neural-graphics-primitives/nerf_network.h:81-371):
+- `density(params, x)`: position-only subpath (used by the occupancy-grid
+  updater), returns the raw 16-dim density-MLP output; channel 0 is the
+  raw (pre-activation) density.
+- `forward(params, x, dir)`: full path; returns raw rgb (3) and raw
+  density (1) — activations (sigmoid rgb / exp density) are applied by the
+  compositing code, mirroring the reference's split
+  (`network_to_rgb`/`network_to_density` live in the march kernels).
+- Parameter packing order in snapshots matches nerf_network.h:356-371:
+  density net -> rgb net -> pos encoding -> (dir encoding has no params).
+
+No custom backward is needed: JAX autodiff through the gather/matmul chain
+produces exactly the fused scatter-add backward the reference hand-writes.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hash_encoding import HashEncoding
+from .mlp import MLP
+from .sh_encoding import sh_encode
+from ..core.config import NGPNetworkConfig
+
+
+class NerfParams(NamedTuple):
+    hash_table: jnp.ndarray        # (n_params, F) fp32
+    density_mlp: list              # list of weight matrices
+    rgb_mlp: list
+
+
+class NerfNetwork:
+    def __init__(self, config: NGPNetworkConfig | None = None, aabb_scale: int = 1,
+                 n_extra_dims: int = 0):
+        config = config or NGPNetworkConfig()
+        self.config = config
+        enc = config.encoding
+        self.pos_encoding = HashEncoding(
+            n_levels=enc.n_levels,
+            n_features_per_level=enc.n_features_per_level,
+            log2_hashmap_size=enc.log2_hashmap_size,
+            base_resolution=enc.base_resolution,
+            per_level_scale=enc.resolve_per_level_scale(aabb_scale),
+            n_dims=3,
+        )
+        self.sh_degree = config.dir_encoding.degree
+        self.n_extra_dims = n_extra_dims
+        self.n_density_outputs = config.n_density_outputs
+        self.density_mlp = MLP(
+            n_input=self.pos_encoding.n_output_dims,
+            n_output=config.n_density_outputs,
+            n_neurons=config.network.n_neurons,
+            n_hidden_layers=config.network.n_hidden_layers,
+            activation=config.network.activation,
+        )
+        self.rgb_mlp = MLP(
+            n_input=config.n_density_outputs + self.sh_degree**2 + n_extra_dims,
+            n_output=3,
+            n_neurons=config.rgb_network.n_neurons,
+            n_hidden_layers=config.rgb_network.n_hidden_layers,
+            activation=config.rgb_network.activation,
+        )
+
+    def init(self, key: jax.Array) -> NerfParams:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return NerfParams(
+            hash_table=self.pos_encoding.init(k1),
+            density_mlp=self.density_mlp.init(k2),
+            rgb_mlp=self.rgb_mlp.init(k3),
+        )
+
+    def density(self, params: NerfParams, x: jnp.ndarray,
+                level_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (N, 3) in [0,1]^3 (warped). Returns raw density-MLP output (N, 16)."""
+        feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
+        return self.density_mlp(params.density_mlp, feats)
+
+    def forward(
+        self,
+        params: NerfParams,
+        x: jnp.ndarray,
+        dir_warped: jnp.ndarray,
+        extra: jnp.ndarray | None = None,
+        level_mask: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """Full forward. Returns (N, 4): raw rgb (3) + raw density (1).
+
+        Mirrors `inference_mixed_precision`'s output layout, which appends
+        the raw density as channel 4 (nerf_network.h:105-139).
+        """
+        h = self.density(params, x, level_mask)
+        sh = sh_encode(dir_warped, self.sh_degree).astype(h.dtype)
+        parts = [h, sh]
+        if self.n_extra_dims > 0:
+            assert extra is not None
+            parts.append(extra.astype(h.dtype))
+        rgb_in = jnp.concatenate(parts, axis=-1)
+        rgb = self.rgb_mlp(params.rgb_mlp, rgb_in)
+        return jnp.concatenate([rgb, h[..., :1]], axis=-1)
+
+    @property
+    def n_params(self) -> int:
+        return (
+            self.pos_encoding.n_params * self.pos_encoding.F
+            + self.density_mlp.n_params
+            + self.rgb_mlp.n_params
+        )
+
+
+def rgb_activation(raw: jnp.ndarray) -> jnp.ndarray:
+    """Logistic rgb activation (ENerfActivation::Logistic)."""
+    return jax.nn.sigmoid(raw.astype(jnp.float32))
+
+
+def density_activation(raw: jnp.ndarray) -> jnp.ndarray:
+    """Exponential density activation, clamped like the reference
+    (nerf_device.cuh:204-255 clamps the exponent to avoid inf)."""
+    return jnp.exp(jnp.clip(raw.astype(jnp.float32), -15.0, 15.0))

@@ -1,0 +1,45 @@
+"""Spherical-harmonics direction encoding, degrees 1..4 (16 coefficients).
+
+Capability match for tcnn's `SphericalHarmonics` encoding used as the NGP
+dir encoding (configs/nerf/base.json "dir_encoding", degree 4; included by
+the reference at src/testbed_nerf.cu:29). Input is the *warped* direction
+in [0,1]^3 (warp = (d+1)/2, nerf_device.cuh:266-315 contract); internally
+unwarped to the unit sphere. The hard-coded polynomial basis constants are
+the standard real-SH values.
+"""
+import jax.numpy as jnp
+
+
+def sh_encode(dir_warped: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """dir_warped: (..., 3) in [0,1]; returns (..., degree^2)."""
+    d = dir_warped * 2.0 - 1.0
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xy, xz, yz = x * y, x * z, y * z
+    x2, y2, z2 = x * x, y * y, z * z
+
+    out = [jnp.full_like(x, 0.28209479177387814)]  # l=0
+    if degree >= 2:
+        out += [
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+        ]
+    if degree >= 3:
+        out += [
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * z2 - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * (x2 - y2),
+        ]
+    if degree >= 4:
+        out += [
+            0.59004358992664352 * y * (-3.0 * x2 + y2),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * z2),
+            0.3731763325901154 * z * (5.0 * z2 - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * z2),
+            1.4453057213202769 * z * (x2 - y2),
+            0.59004358992664352 * x * (-x2 + 3.0 * y2),
+        ]
+    return jnp.stack(out, axis=-1)
