@@ -15,10 +15,21 @@ import pathlib
 from typing import Any
 
 
+import re
+
+_COMMENT_RE = re.compile(r'("(?:[^"\\]|\\.)*")|//[^\n]*|/\*.*?\*/', re.S)
+
+
+def _strip_json_comments(text: str) -> str:
+    """Drop // and /* */ comments (outside strings) — the reference's JSON
+    files use nlohmann's comment-tolerant parser."""
+    return _COMMENT_RE.sub(lambda m: m.group(1) or "", text)
+
+
 def load_json_with_parent(path: str | pathlib.Path) -> dict:
     path = pathlib.Path(path)
     with open(path) as f:
-        cfg = json.load(f)
+        cfg = json.loads(_strip_json_comments(f.read()))
     if "parent" in cfg:
         parent = load_json_with_parent(path.parent / cfg.pop("parent"))
         parent.update(cfg)
