@@ -95,6 +95,34 @@ def uv_to_ray(
     return Ray(o, d)
 
 
+def uv_to_ray_batched(
+    uv: jnp.ndarray,
+    cameras: jnp.ndarray,
+    resolution,
+    focal_length,
+    principal_point=(0.5, 0.5),
+) -> Ray:
+    """Per-ray camera matrices: uv (R, 2), cameras (R, 3, 4) -> Ray of (R, 3).
+
+    The training sampler draws each ray from a different image
+    (testbed_nerf.cu:838-991 behavior), so the camera is per-ray.
+    """
+    res = jnp.asarray(resolution, jnp.float32)
+    fl = jnp.asarray(focal_length, jnp.float32)
+    pp = jnp.asarray(principal_point, jnp.float32)
+    d_cam = jnp.stack(
+        [
+            (uv[..., 0] - pp[0]) * res[0] / fl[0],
+            (uv[..., 1] - pp[1]) * res[1] / fl[1],
+            jnp.ones_like(uv[..., 0]),
+        ],
+        axis=-1,
+    )
+    d = jnp.einsum("rij,rj->ri", cameras[:, :, :3], d_cam, precision=_PREC)
+    o = cameras[:, :, 3]
+    return Ray(o, d)
+
+
 def pos_to_uv(
     pos: jnp.ndarray,
     camera: jnp.ndarray,

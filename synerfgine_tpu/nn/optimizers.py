@@ -73,7 +73,8 @@ class NGPOptimizer:
         return NGPOptState(
             adam=AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
                            step=jnp.zeros((), jnp.int32)),
-            ema_params=params,
+            # distinct buffers: params & ema may both live in a donated state
+            ema_params=jax.tree.map(lambda p: p + 0, params),
         )
 
     def update(self, grads, state: NGPOptState, params):

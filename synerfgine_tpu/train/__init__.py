@@ -1,1 +1,2 @@
-from . import image_fit
+from . import image_fit, nerf_trainer
+from .nerf_trainer import NerfTrainer, NerfTrainState, scene_aabb

@@ -1,0 +1,73 @@
+"""Sharded-training tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synerfgine_tpu.dist import make_mesh, ShardedNerfTrainer
+from synerfgine_tpu.data import load_nerf_dataset
+from synerfgine_tpu.train.nerf_trainer import NerfTrainer
+from synerfgine_tpu.nn.nerf_network import NerfNetwork
+from synerfgine_tpu.core.config import NGPNetworkConfig, HashGridConfig, MLPConfig
+
+
+def _tiny_network():
+    cfg = NGPNetworkConfig(
+        encoding=HashGridConfig(n_levels=4, n_features_per_level=2,
+                                log2_hashmap_size=12, base_resolution=4,
+                                per_level_scale=2.0),
+        network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+        rgb_network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+    )
+    return NerfNetwork(cfg)
+
+
+def test_mesh_has_8_virtual_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_training_descends(lego_dir, n_dev):
+    ds = load_nerf_dataset(lego_dir, max_images=4, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=128, n_steps_per_ray=16, use_grid=False)
+    mesh = make_mesh(n_dev)
+    str_tr = ShardedNerfTrainer(tr, mesh)
+    state = str_tr.init(jax.random.PRNGKey(0))
+    losses = []
+    for _ in range(40):
+        state, loss = str_tr.step(state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_sharded_grid_training_runs(lego_dir):
+    """Grid marcher + compaction under shard_map (the real stage-3 path)."""
+    ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=64, n_march_steps=64, batch_size=1024,
+                     use_grid=True, grid_warmup_steps=2, grid_update_cadence=4)
+    mesh = make_mesh(8)
+    str_tr = ShardedNerfTrainer(tr, mesh)
+    state = str_tr.init(jax.random.PRNGKey(0))
+    for _ in range(6):
+        state, loss = str_tr.step(state)
+    assert np.isfinite(float(loss))
+
+
+def test_sharded_matches_param_consistency(lego_dir):
+    """Replicated params must remain identical across shards after updates."""
+    ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=64, n_steps_per_ray=8, use_grid=False)
+    str_tr = ShardedNerfTrainer(tr, make_mesh(4))
+    state = str_tr.init(jax.random.PRNGKey(1))
+    for _ in range(3):
+        state, _ = str_tr.step(state)
+    # fully-replicated arrays: all device shards equal
+    ht = state.params.hash_table
+    shards = [np.asarray(s.data) for s in ht.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

@@ -1,0 +1,150 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synerfgine_tpu.data import load_nerf_dataset
+from synerfgine_tpu.march.composite import composite_rays
+from synerfgine_tpu.march.fixed import sample_fixed_steps
+from synerfgine_tpu.core.types import BoundingBox, Ray
+from synerfgine_tpu.train.nerf_trainer import NerfTrainer, scene_aabb
+from synerfgine_tpu.nn.nerf_network import NerfNetwork
+from synerfgine_tpu.core.config import NGPNetworkConfig, HashGridConfig, MLPConfig
+
+
+# ------------------------------------------------------------------ loader
+def test_lego_loader(lego_dir):
+    ds = load_nerf_dataset(lego_dir, max_images=4, downscale=8)
+    assert ds.images.shape == (4, 100, 100, 4)
+    assert ds.images.dtype == np.uint8
+    assert ds.xforms.shape == (4, 3, 4)
+    assert ds.aabb_scale == 1
+    # camera positions must land inside the NGP scene box-ish region
+    pos = ds.xforms[:, :, 3]
+    assert np.all(np.abs(pos - 0.5) < 2.0)
+    # focal from fl_x
+    assert np.isclose(ds.focal_length[0], 1000.0 / 8)
+    # rotations orthonormal
+    for m in ds.xforms:
+        np.testing.assert_allclose(m[:, :3] @ m[:, :3].T, np.eye(3), atol=1e-5)
+
+
+def test_train_test_split(lego_dir):
+    ds = load_nerf_dataset(lego_dir, max_images=16, downscale=8)
+    tr, te = ds.train_test_split(test_every=8)
+    assert tr.n_images == 14 and te.n_images == 2
+
+
+# -------------------------------------------------------------- compositing
+def _numpy_composite(rgb_raw, sigma_raw, dt, t, eps=1e-4):
+    R, K = sigma_raw.shape
+    out_rgb = np.zeros((R, 3))
+    out_depth = np.zeros(R)
+    Tfin = np.ones(R)
+    for r in range(R):
+        T = 1.0
+        for k in range(K):
+            if T < eps:
+                break
+            sigma = np.exp(np.clip(sigma_raw[r, k], -15, 15))
+            alpha = 1 - np.exp(-sigma * dt[r, k])
+            w = T * alpha
+            out_rgb[r] += w / (1 + np.exp(-rgb_raw[r, k]))
+            out_depth[r] += w * t[r, k]
+            T *= 1 - alpha
+        Tfin[r] = T
+    return out_rgb, out_depth, Tfin
+
+
+def test_composite_matches_serial_reference():
+    rng = np.random.default_rng(7)
+    R, K = 16, 64
+    rgb_raw = rng.normal(size=(R, K, 3)).astype(np.float32)
+    sigma_raw = rng.normal(size=(R, K)).astype(np.float32) * 2
+    dt = np.full((R, K), 0.01, np.float32)
+    t = np.cumsum(dt, axis=1)
+    comp = composite_rays(jnp.asarray(rgb_raw), jnp.asarray(sigma_raw),
+                          jnp.asarray(dt), jnp.asarray(t))
+    want_rgb, want_depth, want_T = _numpy_composite(rgb_raw, sigma_raw, dt, t)
+    np.testing.assert_allclose(np.asarray(comp.rgb), want_rgb, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(comp.depth), want_depth, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(comp.transmittance), want_T, atol=2e-4)
+
+
+def test_composite_opacity_plus_transmittance():
+    rng = np.random.default_rng(8)
+    R, K = 8, 32
+    comp = composite_rays(
+        jnp.asarray(rng.normal(size=(R, K, 3)), dtype=jnp.float32),
+        jnp.asarray(rng.normal(size=(R, K)), dtype=jnp.float32),
+        jnp.full((R, K), 0.02),
+        jnp.cumsum(jnp.full((R, K), 0.02), axis=1),
+        min_transmittance=0.0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(comp.opacity + comp.transmittance), 1.0, atol=1e-4
+    )
+
+
+def test_composite_grad_finite():
+    rgb = jnp.zeros((4, 16, 3))
+    sigma = jnp.zeros((4, 16))
+    dt = jnp.full((4, 16), 0.01)
+    t = jnp.cumsum(dt, axis=1)
+
+    def f(s):
+        return jnp.sum(composite_rays(rgb, s, dt, t).rgb)
+
+    g = jax.grad(f)(sigma)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+# ------------------------------------------------------------ fixed sampler
+def test_fixed_sampler_inside_box():
+    aabb = BoundingBox(jnp.zeros(3), jnp.ones(3))
+    o = jnp.array([[0.5, 0.5, -1.0], [5.0, 5.0, 5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    s = sample_fixed_steps(Ray(o, d), aabb, 32)
+    assert bool(jnp.all(s.valid[0]))
+    assert not bool(jnp.any(s.valid[1]))  # miss
+    inside = (s.xs[0] >= -1e-4) & (s.xs[0] <= 1 + 1e-4)
+    assert bool(jnp.all(inside))
+
+
+# ------------------------------------------------------- tiny e2e training
+def _tiny_network():
+    cfg = NGPNetworkConfig(
+        encoding=HashGridConfig(n_levels=4, n_features_per_level=2,
+                                log2_hashmap_size=12, base_resolution=4,
+                                per_level_scale=2.0),
+        network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+        rgb_network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+    )
+    return NerfNetwork(cfg)
+
+
+def test_nerf_train_step_runs_and_descends(lego_dir):
+    ds = load_nerf_dataset(lego_dir, max_images=4, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=128, n_steps_per_ray=32, use_grid=False)
+    state = tr.init(jax.random.PRNGKey(0))
+    first = None
+    losses = []
+    for _ in range(60):
+        state, loss = tr.step(state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_nerf_render_smoke(lego_dir):
+    ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=64, n_steps_per_ray=16, use_grid=False)
+    state = tr.init(jax.random.PRNGKey(0))
+    out = tr.render_image(state.params, ds.xforms[0], width=50, height=50,
+                          n_steps=32)
+    assert out["rgb"].shape == (50, 50, 3)
+    assert out["alpha"].shape == (50, 50)
+    assert np.isfinite(out["rgb"]).all()
