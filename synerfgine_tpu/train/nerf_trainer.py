@@ -98,6 +98,8 @@ class NerfTrainer:
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
         self._grid_update = jax.jit(self._grid_update_fn, donate_argnums=(0,),
                                     static_argnums=(1,))
+        self._scan_steps = jax.jit(self._train_scan, donate_argnums=(0,),
+                                   static_argnums=(1, 2))
 
     def init(self, key: jax.Array, mark_untrained: bool = True) -> NerfTrainState:
         k1, k2 = jax.random.split(key)
@@ -214,6 +216,24 @@ class NerfTrainer:
         )
         return state._replace(grid=gstate, key=key)
 
+    def _train_scan(self, state: NerfTrainState, n_steps: int,
+                    update_grid_every_step: bool):
+        """n_steps training steps fused into ONE device dispatch via
+        lax.scan — removes the per-dispatch host/relay round-trip that
+        would otherwise dominate wall-clock (SURVEY.md §7 'host/device
+        ping-pong ... the TPU design removes these')."""
+
+        def body(s, _):
+            if update_grid_every_step and self.use_grid:
+                s = self._grid_update_fn(s, False)
+            s, loss, n_samples = self._train_step(s)
+            return s, (loss, n_samples)
+
+        state, (losses, n_samples) = jax.lax.scan(
+            body, state, None, length=n_steps
+        )
+        return state, losses, n_samples
+
     def step(self, state: NerfTrainState):
         """One full training step incl. the grid-update cadence."""
         if self.use_grid:
@@ -224,13 +244,32 @@ class NerfTrainer:
         self.host_step += 1
         return state, loss
 
-    def train(self, state: NerfTrainState, n_steps: int, log_every: int = 0):
+    def train(self, state: NerfTrainState, n_steps: int, log_every: int = 0,
+              log_fn=print):
+        """Fast path: batches `grid_update_cadence` steps per dispatch.
+        During grid warmup (host_step < grid_warmup_steps) the grid update
+        is fused into every scanned step, matching the reference cadence
+        (testbed.cu:4082)."""
         losses = []
-        for i in range(n_steps):
-            state, loss = self.step(state)
-            if log_every and (i + 1) % log_every == 0:
-                print(f"step {i+1}: loss {float(loss):.6f}")
-                losses.append(float(loss))
+        done = 0
+        while done < n_steps:
+            if self.use_grid and self.host_step < self.grid_warmup_steps:
+                n = min(self.grid_warmup_steps - self.host_step, n_steps - done)
+                # first full-sweep update once at step 0
+                if self.host_step == 0:
+                    state = self._grid_update(state, True)
+                state, ls, _ = self._scan_steps(state, n, True)
+            else:
+                n = min(self.grid_update_cadence, n_steps - done)
+                if self.use_grid:
+                    state = self._grid_update(state, False)
+                state, ls, _ = self._scan_steps(state, n, False)
+            self.host_step += n
+            done += n
+            if log_every and (done // log_every) != ((done - n) // log_every):
+                loss = float(ls[-1])
+                losses.append(loss)
+                log_fn(f"step {self.host_step}: loss {loss:.6f}")
         return state, losses
 
     # ------------------------------------------------------------ rendering
