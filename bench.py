@@ -1,0 +1,85 @@
+"""Round benchmark: NGP NeRF training throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": "train_samples_per_s", "value": N, "unit": "samples/s",
+   "vs_baseline": R}
+
+Baseline: instant-ngp on an RTX-3090-class GPU trains its default
+2^18-sample batch in roughly 10 ms (the 'fox in 5 seconds' regime,
+BASELINE.md) => ~2.6e7 samples/s. vs_baseline = value / 2.6e7.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_SAMPLES_PER_S = 2.6e7
+LEGO = "/root/reference/data/nerf/lego"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import pathlib
+
+    import numpy as np
+
+    from synerfgine_tpu.core.config import NGPNetworkConfig
+    from synerfgine_tpu.nn.nerf_network import NerfNetwork
+    from synerfgine_tpu.train.nerf_trainer import NerfTrainer
+
+    log("devices:", jax.devices())
+
+    if pathlib.Path(LEGO).exists():
+        from synerfgine_tpu.data import load_nerf_dataset
+
+        ds = load_nerf_dataset(LEGO, downscale=2)
+        cfg_path = "/root/reference/configs/nerf/base.json"
+        cfg = (NGPNetworkConfig.from_json(cfg_path)
+               if pathlib.Path(cfg_path).exists() else NGPNetworkConfig())
+    else:
+        from __graft_entry__ import _tiny_synthetic_dataset
+
+        ds = _tiny_synthetic_dataset(8, 128)
+        cfg = NGPNetworkConfig()
+
+    net = NerfNetwork(cfg, aabb_scale=ds.aabb_scale)
+    batch_size = 1 << 18
+    trainer = NerfTrainer(net, ds, n_rays=4096, batch_size=batch_size,
+                          use_grid=True)
+    state = trainer.init(jax.random.PRNGKey(1337))
+
+    # warmup: compiles + grid warmup cadence
+    t0 = time.time()
+    state, _ = trainer.train(state, 48)
+    log(f"warmup 48 steps in {time.time()-t0:.1f}s")
+
+    n_steps = 192
+    t0 = time.time()
+    state, _ = trainer.train(state, n_steps)
+    jax.block_until_ready(state.params.hash_table)
+    dt = time.time() - t0
+    # throughput accounting matches the reference: the training batch is
+    # `batch_size` samples per step (compaction fills it)
+    samples_per_s = batch_size * n_steps / dt
+    log(f"{n_steps} steps in {dt:.2f}s = {n_steps/dt:.2f} steps/s")
+
+    print(json.dumps({
+        "metric": "train_samples_per_s",
+        "value": round(samples_per_s),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

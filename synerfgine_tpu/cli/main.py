@@ -79,7 +79,8 @@ def cmd_train(args):
             state.opt_state,
             state.grid,
             step=trainer.host_step,
-            dataset_meta={"scene": str(args.scene), "n_images": ds.n_images},
+            dataset_meta={"scene": str(args.scene), "n_images": ds.n_images,
+                          "aabb_scale": ds.aabb_scale},
             include_optimizer=args.snapshot_optimizer,
         )
         print(f"saved snapshot to {args.save_snapshot}")
@@ -131,6 +132,63 @@ def cmd_render(args):
         )
         write_image(str(out_dir / f"frame_{i:04d}.png"), out["rgb"])
     print(f"wrote {min(n, ds.n_images)} frames to {out_dir}")
+
+
+def cmd_hybrid(args):
+    """The reference's `--snapshot X --virtual scene.json` demo flow
+    (main.cu:190-224): load a trained NeRF snapshot + a virtual scene,
+    replay the camera path, write frames."""
+    import jax
+    import numpy as np
+
+    from ..core.config import NGPNetworkConfig
+    from ..grid.occupancy import OccupancyGrid
+    from ..hybrid.engine import Engine
+    from ..hybrid.scene import load_scene_json
+    from ..io.snapshot import load_snapshot
+    from ..nn.nerf_network import NerfNetwork
+
+    snap = load_snapshot(args.load_snapshot)
+    cfg = NGPNetworkConfig.from_json(args.config) if args.config else NGPNetworkConfig()
+    aabb_scale = snap["dataset_meta"].get("aabb_scale", 1)
+    net = NerfNetwork(cfg, aabb_scale=aabb_scale)
+    ref = net.init(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    params = jax.tree.unflatten(
+        jax.tree.structure(ref), [jnp.asarray(a) for a in snap["params"]]
+    )
+    grid = OccupancyGrid(aabb_scale)
+    gstate = grid.init()
+    if snap["density_grid"] is not None:
+        gstate = grid.finalize(gstate._replace(
+            density=jnp.asarray(snap["density_grid"])))
+
+    scene = load_scene_json(args.virtual)
+    if args.light_samples:
+        scene.settings.light_samples = args.light_samples
+    if args.shadow_samples:
+        scene.settings.shadow_samples = args.shadow_samples
+    if args.bounces:
+        scene.settings.path_trace_depth = args.bounces
+    if args.out:
+        scene.output_folder = args.out
+        scene.record = True
+    engine = Engine(net, params, grid, gstate, scene,
+                    width=args.width, height=args.height)
+    n_frames = args.n_frames or (scene.cam_path.n_frames if scene.cam_path else 1)
+    import time
+
+    for i in range(n_frames):
+        t0 = time.time()
+        engine.frame()
+        print(f"frame {i+1}/{n_frames}: {(time.time()-t0)*1000:.0f} ms "
+              f"(syn {engine.timings.get('syn', 0)*1000:.0f} "
+              f"nerf {engine.timings.get('nerf', 0)*1000:.0f} "
+              f"shadow {engine.timings.get('nerf_shadow', 0)*1000:.0f})")
+        if engine.finished():
+            break
+    print(f"wrote frames to {scene.output_folder}" if scene.record else "done")
 
 
 def cmd_fit_image(args):
@@ -188,6 +246,20 @@ def main(argv=None):
     sp.add_argument("--width", type=int, default=None)
     sp.add_argument("--height", type=int, default=None)
     sp.set_defaults(fn=cmd_render)
+
+    sp = sub.add_parser("hybrid")
+    sp.add_argument("--load-snapshot", required=True)
+    sp.add_argument("--virtual", required=True, help="virtual scene json")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--width", type=int, default=640)
+    sp.add_argument("--height", type=int, default=360)
+    sp.add_argument("--n-frames", type=int, default=None)
+    sp.add_argument("--out", default=None)
+    sp.add_argument("--light-samples", type=int, default=None,
+                    help="override scene light_samples (preview)")
+    sp.add_argument("--shadow-samples", type=int, default=None)
+    sp.add_argument("--bounces", type=int, default=None)
+    sp.set_defaults(fn=cmd_hybrid)
 
     sp = sub.add_parser("fit-image")
     sp.add_argument("--image", required=True)

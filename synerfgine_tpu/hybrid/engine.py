@@ -1,0 +1,288 @@
+"""Hybrid engine: NeRF + path-traced synthetic objects with mutual shadows.
+
+Capability match for `sng::Engine` (src/synerfgine/engine.cu) — headless:
+frame orchestration (engine.cu:352-433 call order, SURVEY.md §3.1), the
+resolution cascade (NeRF at res_factor-scaled size, synthetic at
+vo_scale x that; engine.cu:236-255), dirty-tracked world re-upload,
+camera-path replay with fps pacing and `end_on_loop`, temporal 50/50
+accumulation, and PNG frame recording (the Display's fragment-shader blit
+is replaced by the same math in the overlay kernel: depth-select,
+exposure, tonemap, sRGB — raytracer.cu:220-258 `overlay_nerf`).
+
+The NeRF pass consumes the synthetic depth buffer: marching past the
+nearest synthetic surface is masked out (`trace_alt` /
+`generate_next_nerf_network_inputs_alt` semantics,
+testbed_nerf.cu:424-474, 2128-2277).
+"""
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import camera as cam
+from ..core.constants import RENDER_MIN_TRANSMITTANCE, TESTBED_SEED, PT_SEED
+from ..core.types import Ray
+from ..grid.occupancy import OccupancyGrid, OccupancyGridState
+from ..march.composite import composite_rays
+from ..march.dda import compact_samples, march_rays_grid, scatter_back
+from ..nn.nerf_network import NerfNetwork, NerfParams
+from ..io.image import linear_to_srgb, write_image
+from ..render.tonemap import tonemap
+from .nerf_shadows import (
+    box_filter,
+    normals_from_positions,
+    positions_from_depth,
+    shadow_map,
+)
+from .raytracer import MAX_DEPTH, RayTracer
+from .scene import Scene
+
+
+class Engine:
+    def __init__(
+        self,
+        network: NerfNetwork,
+        params: NerfParams,
+        grid: OccupancyGrid,
+        grid_state: OccupancyGridState,
+        scene: Scene,
+        width: int = 640,
+        height: int = 360,
+        aabb=None,
+    ):
+        from ..train.nerf_trainer import scene_aabb
+
+        self.network = network
+        self.params = params
+        self.grid = grid
+        self.grid_state = grid_state
+        self.scene = scene
+        self.width = width
+        self.height = height
+        self.aabb = aabb if aabb is not None else scene_aabb(grid.aabb_scale)
+
+        s = scene.settings
+        # resolution cascade: NeRF at (8 / res_factor) of the window,
+        # synthetic at vo_scale x NeRF res, both capped at the window.
+        f = min(1.0, 8.0 / max(s.res_factor, 1))
+        self.nerf_res = (max(16, int(width * f)) // 2 * 2,
+                         max(16, int(height * f)) // 2 * 2)
+        self.syn_res = (min(width, self.nerf_res[0] * s.vo_scale),
+                        min(height, self.nerf_res[1] * s.vo_scale))
+
+        self.tracer = RayTracer(
+            grid, self.aabb,
+            samples=s.light_samples, bounces=s.path_trace_depth,
+            shadow_samples=s.shadow_samples, lens_size=s.lens_size,
+            depth_offset=s.depth_offset, shadow_factor=s.shadow_factor,
+            show_nerf_shadow=s.shadow_on_virtual_obj,
+        )
+        self.world = scene.pack_device()
+        self.key = jax.random.PRNGKey(PT_SEED)
+        self.frame_idx = 0
+        self._acc_rgba = None
+        self._acc_cam = None
+        self._nerf_chunk = jax.jit(self._render_nerf_chunk)
+        self.timings: dict[str, float] = {}
+
+    # ------------------------------------------------------------- camera
+    def current_camera(self):
+        sc = self.scene
+        if sc.cam_path is not None:
+            m, zoom = sc.cam_path.eval_frame(self.frame_idx)
+            return np.asarray(m, np.float32), zoom
+        view = sc.default_view if sc.default_view is not None else np.array([0.0, 0.0, -1.0])
+        at = sc.default_at if sc.default_at is not None else np.array([0.5, 0.5, 0.5])
+        eye = at - view / np.linalg.norm(view) * 1.0  # view dir convention
+        return cam.look_at(eye, at), sc.default_zoom
+
+    def _focal(self, res, zoom):
+        # ~50 deg horizontal fov at zoom 1 (testbed default fov)
+        base = 0.5 * res[0] / np.tan(np.radians(50.0) / 2.0)
+        return np.array([base * zoom, base * zoom], np.float32)
+
+    # ----------------------------------------------------------- NeRF pass
+    def _render_nerf_chunk(self, params, bitfield, uv, cm, focal, t_max):
+        """NeRF render stopping at the synthetic depth (trace_alt)."""
+        res = jnp.asarray(self.nerf_res, jnp.float32)
+        rays = cam.uv_to_ray(uv, cm, self.nerf_res, focal)
+        d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
+        rays = Ray(rays.o, d_norm)
+        samples = march_rays_grid(
+            rays, self.aabb, self.grid, bitfield, 512, self.tracer.cone_angle
+        )
+        # early-out at the synthetic surface (alt marcher semantics)
+        valid = samples.valid & (samples.t < t_max[:, None])
+        samples = samples._replace(valid=valid)
+        dirs_warped = (d_norm + 1.0) * 0.5
+        comp_in = compact_samples(samples, dirs_warped, uv.shape[0] * 48)
+        xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
+        out = self.network.forward(params, xs_unit, comp_in.dirs)
+        dense = scatter_back(out, comp_in, uv.shape[0], samples.t.shape[1])
+        comp = composite_rays(
+            dense[..., :3], dense[..., 3], samples.dt, samples.t,
+            comp_in.valid, RENDER_MIN_TRANSMITTANCE,
+        )
+        depth = jnp.where(comp.opacity > 0.01, comp.depth / jnp.maximum(comp.opacity, 1e-6), MAX_DEPTH)
+        return comp.rgb, comp.opacity, depth, rays.o, d_norm
+
+    def render_nerf(self, cm, zoom, syn_depth_lowres):
+        w, h = self.nerf_res
+        uv = np.stack(np.meshgrid(
+            (np.arange(w, dtype=np.float32) + 0.5) / w,
+            (np.arange(h, dtype=np.float32) + 0.5) / h), -1).reshape(-1, 2)
+        focal = self._focal(self.nerf_res, zoom)
+        chunk = 1 << 14
+        outs = {"rgb": [], "alpha": [], "depth": [], "o": [], "d": []}
+        t_max_flat = syn_depth_lowres.reshape(-1)
+        n = uv.shape[0]
+        pad = (-n) % chunk
+        uv_p = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
+        t_p = jnp.concatenate([jnp.asarray(t_max_flat),
+                               jnp.full((pad,), MAX_DEPTH)])
+        for i in range(0, len(uv_p), chunk):
+            rgb, a, dep, o, d = self._nerf_chunk(
+                self.params, self.grid_state.bitfield,
+                jnp.asarray(uv_p[i:i + chunk]), jnp.asarray(cm),
+                jnp.asarray(focal), t_p[i:i + chunk])
+            outs["rgb"].append(rgb); outs["alpha"].append(a)
+            outs["depth"].append(dep); outs["o"].append(o); outs["d"].append(d)
+        cat = {k: jnp.concatenate(v)[:n] for k, v in outs.items()}
+        return {
+            "rgb": cat["rgb"].reshape(h, w, 3),
+            "alpha": cat["alpha"].reshape(h, w),
+            "depth": cat["depth"].reshape(h, w),
+            "o": cat["o"].reshape(h, w, 3),
+            "d": cat["d"].reshape(h, w, 3),
+        }
+
+    # ------------------------------------------------------ synthetic pass
+    def render_synthetic(self, cm, zoom):
+        w, h = self.syn_res
+        uv = np.stack(np.meshgrid(
+            (np.arange(w, dtype=np.float32) + 0.5) / w,
+            (np.arange(h, dtype=np.float32) + 0.5) / h), -1).reshape(-1, 2)
+        focal = self._focal(self.syn_res, zoom)
+        rays = cam.uv_to_ray(jnp.asarray(uv), jnp.asarray(cm), (w, h),
+                             jnp.asarray(focal))
+        d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
+        self.key, k = jax.random.split(self.key)
+        res = self.tracer.trace(Ray(rays.o, d_norm), self.world,
+                                self.grid_state.bitfield, k)
+        view = self.tracer.buffer_view(res, self.scene.settings.syn_filter)
+        return {
+            "rgb": view.reshape(h, w, 3),
+            "depth": res.depth.reshape(h, w),
+            "hit": res.hit.reshape(h, w),
+        }
+
+    # ------------------------------------------------------------ overlay
+    def overlay(self, syn, nerf):
+        """Depth-composite syn over NeRF, exposure + tonemap + sRGB
+        (overlay_nerf, raytracer.cu:220-258)."""
+        s = self.scene.settings
+        sw, sh = self.syn_res
+        scale = max(1, sw // self.nerf_res[0])
+        n_rgb = jnp.repeat(jnp.repeat(nerf["rgb"], scale, 0), scale, 1)[:sh, :sw]
+        n_depth = jnp.repeat(jnp.repeat(nerf["depth"], scale, 0), scale, 1)[:sh, :sw]
+        # NeRF output rgb is sRGB-space (training space); syn shading is
+        # linear. Convert NeRF to linear for the composite.
+        from ..io.image import srgb_to_linear
+
+        n_lin = srgb_to_linear(jnp.clip(n_rgb, 0.0, 1.0))
+        use_syn = syn["hit"] & (syn["depth"] - s.depth_offset < n_depth) \
+            if s.show_nerf else syn["hit"]
+        if not s.show_virtual_obj:
+            use_syn = jnp.zeros_like(use_syn)
+        rgb = jnp.where(use_syn[..., None], syn["rgb"], n_lin if s.show_nerf else 0.0)
+        rgb = rgb * (2.0 ** s.exposure)
+        rgb = tonemap(rgb, s.tonemap_curve)
+        rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))
+        depth = jnp.where(use_syn, syn["depth"], n_depth)
+        return rgb, depth
+
+    # -------------------------------------------------------------- frame
+    def frame(self) -> dict:
+        import time
+
+        t_start = time.time()
+        s = self.scene.settings
+        self.scene.next_frame()
+        if self.scene.animation_speed > 0:
+            self.world = self.scene.pack_device()
+            self._acc_rgba = None  # world moved: reset accumulation
+        cm, zoom = self.current_camera()
+
+        t0 = time.time()
+        syn = self.render_synthetic(cm, zoom)
+        self.timings["syn"] = time.time() - t0
+
+        t0 = time.time()
+        if s.show_nerf:
+            # downsample syn depth to the NeRF res for the early-out
+            sw, sh = self.syn_res
+            nw, nh = self.nerf_res
+            fy, fx = sh // nh, sw // nw
+            sd = np.asarray(syn["depth"])[: nh * fy, : nw * fx]
+            syn_depth_low = sd.reshape(nh, fy, nw, fx).min((1, 3))
+            nerf = self.render_nerf(cm, zoom, syn_depth_low)
+        else:
+            nw, nh = self.nerf_res
+            nerf = {
+                "rgb": jnp.zeros((nh, nw, 3)), "alpha": jnp.zeros((nh, nw)),
+                "depth": jnp.full((nh, nw), MAX_DEPTH),
+                "o": jnp.zeros((nh, nw, 3)), "d": jnp.ones((nh, nw, 3)),
+            }
+        self.timings["nerf"] = time.time() - t0
+
+        t0 = time.time()
+        if s.show_nerf and s.shadow_on_nerf and self.scene.objects:
+            pos = positions_from_depth(nerf["o"], nerf["d"], nerf["depth"])
+            normals = normals_from_positions(pos)
+            self.key, k = jax.random.split(self.key)
+            sh_flat = shadow_map(
+                self.tracer, pos.reshape(-1, 3), normals.reshape(-1, 3),
+                self.world, self.grid_state.bitfield, k,
+                nerf_shadow_intensity=s.nerf_shadow_brightness,
+                nerf_on_nerf_threshold=s.nerf_on_nerf_shadow_threshold,
+            )
+            sh = sh_flat.reshape(nerf["depth"].shape)
+            sh = jnp.where(nerf["depth"] < MAX_DEPTH * 0.5, sh, 1.0)
+            sh = box_filter(sh, s.smooth_kernel_size)
+            sh = jnp.power(sh, s.nerf_shadow_brightness)
+            nerf = {**nerf, "rgb": nerf["rgb"] * sh[..., None]}
+        self.timings["nerf_shadow"] = time.time() - t0
+
+        rgb, depth = self.overlay(syn, nerf)
+
+        # temporal 50/50 accumulation while the camera holds still
+        cam_key = (tuple(np.asarray(cm).ravel().tolist()), zoom)
+        if self._acc_rgba is not None and self._acc_cam == cam_key:
+            rgb = 0.5 * rgb + 0.5 * self._acc_rgba
+        self._acc_rgba = rgb
+        self._acc_cam = cam_key
+
+        self.frame_idx += 1
+        if self.scene.cam_path is not None:
+            self.scene.cam_path.frame_idx = self.frame_idx
+        self.timings["frame"] = time.time() - t_start
+        out = {"rgb": np.asarray(rgb), "depth": np.asarray(depth),
+               "syn": syn, "nerf": nerf}
+
+        if self.scene.record:
+            folder = pathlib.Path(self.scene.output_folder)
+            folder.mkdir(parents=True, exist_ok=True)
+            write_image(str(folder / f"output-{self.frame_idx:03d}.png"),
+                        out["rgb"])
+        return out
+
+    def finished(self) -> bool:
+        cp = self.scene.cam_path
+        if cp is None:
+            return False
+        if self.scene.img_count > 0 and self.frame_idx >= self.scene.img_count:
+            return True
+        return cp.end_on_loop and self.frame_idx >= cp.n_frames
