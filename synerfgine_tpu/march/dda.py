@@ -114,19 +114,24 @@ def compact_samples(
     dirs_warped: jnp.ndarray,   # (R, 3)
     batch_size: int,
 ) -> CompactedSamples:
+    """Scatter cost is per-update on TPU (~20 ns), so compaction scatters
+    ONE int32 inverse-index array and fetches the payload (xs/dt/dirs)
+    with cheap gathers instead of scattering each payload tensor."""
     R, K = samples.valid.shape
     flat_valid = samples.valid.reshape(-1)
     pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
     keep = flat_valid & (pos < batch_size)
     slot = jnp.where(keep, pos, batch_size)  # dump slot S
 
-    def scat(v, width):
-        out = jnp.zeros((batch_size + 1, width), v.dtype)
-        return out.at[slot].set(v.reshape(R * K, width), mode="drop")[:batch_size]
+    # inverse map: slot -> flat sample index (single int scatter)
+    inv = jnp.zeros((batch_size + 1,), jnp.int32).at[slot].set(
+        jnp.arange(R * K, dtype=jnp.int32), mode="drop"
+    )[:batch_size]
 
-    xs = scat(samples.xs, 3)
-    dt = scat(samples.dt[..., None], 1)[:, 0]
-    dirs = scat(jnp.broadcast_to(dirs_warped[:, None, :], (R, K, 3)), 3)
+    xs = samples.xs.reshape(R * K, 3)[inv]
+    dt = samples.dt.reshape(R * K)[inv]
+    ray_of = inv // K
+    dirs = dirs_warped[ray_of]
     return CompactedSamples(
         xs=xs,
         dirs=dirs,

@@ -22,7 +22,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .hash_encoding import HashEncoding
+from .hash_encoding import HashEncoding, stochastic_encode
 from .mlp import MLP
 from .sh_encoding import sh_encode
 from ..core.config import NGPNetworkConfig
@@ -75,9 +75,18 @@ class NerfNetwork:
         )
 
     def density(self, params: NerfParams, x: jnp.ndarray,
-                level_mask: jnp.ndarray | None = None) -> jnp.ndarray:
-        """x: (N, 3) in [0,1]^3 (warped). Returns raw density-MLP output (N, 16)."""
-        feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
+                level_mask: jnp.ndarray | None = None,
+                grad_u: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (N, 3) in [0,1]^3 (warped). Returns raw density-MLP output (N, 16).
+
+        grad_u: optional (n_levels, N) uniforms switching the hash-table
+        backward to the fast stochastic-corner scatter (training path)."""
+        if grad_u is not None:
+            feats = stochastic_encode(
+                self.pos_encoding, params.hash_table, x, grad_u
+            ).astype(jnp.bfloat16)
+        else:
+            feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
         return self.density_mlp(params.density_mlp, feats)
 
     def forward(
@@ -87,13 +96,14 @@ class NerfNetwork:
         dir_warped: jnp.ndarray,
         extra: jnp.ndarray | None = None,
         level_mask: jnp.ndarray | None = None,
+        grad_u: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Full forward. Returns (N, 4): raw rgb (3) + raw density (1).
 
         Mirrors `inference_mixed_precision`'s output layout, which appends
         the raw density as channel 4 (nerf_network.h:105-139).
         """
-        h = self.density(params, x, level_mask)
+        h = self.density(params, x, level_mask, grad_u)
         sh = sh_encode(dir_warped, self.sh_degree).astype(h.dtype)
         parts = [h, sh]
         if self.n_extra_dims > 0:

@@ -139,7 +139,7 @@ class NerfTrainer:
         result."""
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
-        k_rays, k_march, k_bg = jax.random.split(key, 3)
+        k_rays, k_march, k_bg, k_u = jax.random.split(key, 4)
         rays, texel = self._sample_rays(k_rays, n_rays)
         R = n_rays
 
@@ -150,7 +150,9 @@ class NerfTrainer:
         target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:]) * bg
         dirs_warped = (rays.d + 1.0) * 0.5
 
-        net_apply = jax.checkpoint(self.network.forward)
+        net_apply = jax.checkpoint(
+            lambda p, x, d, u=None: self.network.forward(p, x, d, grad_u=u)
+        )
 
         if self.use_grid:
             samples = march_rays_grid(
@@ -160,9 +162,11 @@ class NerfTrainer:
             comp_in = compact_samples(samples, dirs_warped, batch_size)
             K = self.n_march_steps
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
+            grad_u = jax.random.uniform(
+                k_u, (self.network.pos_encoding.n_levels, batch_size))
 
             def loss_fn(params):
-                out = net_apply(params, xs_unit, comp_in.dirs)
+                out = net_apply(params, xs_unit, comp_in.dirs, grad_u)
                 dense = scatter_back(out, comp_in, R, K)
                 comp = composite_rays(
                     dense[..., :3], dense[..., 3], samples.dt, samples.t,
