@@ -184,7 +184,20 @@ class OccupancyGrid:
         pos = jnp.concatenate(poss)
 
         xs_unit = jnp.clip(aabb.relative_pos(pos), 0.0, 1.0)
-        raw = density_fn(xs_unit)
+        # chunked queries: the hash encoding materializes (L, N, 8corner)
+        # intermediates, so a 2M-sample batch must be mapped in slices
+        # (the reference batches at 2*128^3 samples too,
+        # testbed_nerf.cu:3193-3200)
+        n = xs_unit.shape[0]
+        chunk = 1 << 17
+        if n > chunk:
+            pad = (-n) % chunk
+            xs_pad = jnp.concatenate([xs_unit, jnp.zeros((pad, 3))])
+            raw = jax.lax.map(
+                density_fn, xs_pad.reshape(-1, chunk, 3)
+            ).reshape(-1)[:n]
+        else:
+            raw = density_fn(xs_unit)
         sigma = density_activation(raw)
         optical = sigma * STEPSIZE  # optical thickness of the min stepsize
 

@@ -95,11 +95,12 @@ class NerfTrainer:
         self.focal = jnp.asarray(dataset.focal_length)
         self.pp = jnp.asarray(dataset.principal_point)
 
-        self._step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._step = jax.jit(self._train_step, donate_argnums=(0,),
+                             static_argnums=(1,))
         self._grid_update = jax.jit(self._grid_update_fn, donate_argnums=(0,),
                                     static_argnums=(1,))
         self._scan_steps = jax.jit(self._train_scan, donate_argnums=(0,),
-                                   static_argnums=(1, 2))
+                                   static_argnums=(1, 2, 3))
 
     def init(self, key: jax.Array, mark_untrained: bool = True) -> NerfTrainState:
         k1, k2 = jax.random.split(key)
@@ -199,10 +200,10 @@ class NerfTrainer:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, grads, n_samples
 
-    def _train_step(self, state: NerfTrainState):
+    def _train_step(self, state: NerfTrainState, n_rays: int | None = None):
         key, k_step = jax.random.split(state.key)
         loss, grads, n_samples = self.loss_and_grads(
-            state.params, state.grid.bitfield, k_step
+            state.params, state.grid.bitfield, k_step, n_rays=n_rays
         )
         params, opt_state = self.opt.update(grads, state.opt_state, state.params)
         return NerfTrainState(params, opt_state, state.grid, key), loss, n_samples
@@ -221,7 +222,7 @@ class NerfTrainer:
         return state._replace(grid=gstate, key=key)
 
     def _train_scan(self, state: NerfTrainState, n_steps: int,
-                    update_grid_every_step: bool):
+                    update_grid_every_step: bool, n_rays: int | None = None):
         """n_steps training steps fused into ONE device dispatch via
         lax.scan — removes the per-dispatch host/relay round-trip that
         would otherwise dominate wall-clock (SURVEY.md §7 'host/device
@@ -230,7 +231,7 @@ class NerfTrainer:
         def body(s, _):
             if update_grid_every_step and self.use_grid:
                 s = self._grid_update_fn(s, False)
-            s, loss, n_samples = self._train_step(s)
+            s, loss, n_samples = self._train_step(s, n_rays)
             return s, (loss, n_samples)
 
         state, (losses, n_samples) = jax.lax.scan(
@@ -249,31 +250,49 @@ class NerfTrainer:
         return state, loss
 
     def train(self, state: NerfTrainState, n_steps: int, log_every: int = 0,
-              log_fn=print):
+              log_fn=print, adaptive_rays: bool = True):
         """Fast path: batches `grid_update_cadence` steps per dispatch.
         During grid warmup (host_step < grid_warmup_steps) the grid update
         is fused into every scanned step, matching the reference cadence
-        (testbed.cu:4082)."""
+        (testbed.cu:4082). With adaptive_rays, the ray count per batch is
+        retuned after every block so the compacted sample count tracks
+        `batch_size` (`update_after_training` behavior,
+        testbed_nerf.cu:3272-3296), bucketed to powers of two so jit
+        recompiles stay bounded."""
         losses = []
         done = 0
+        cur_rays = self._adaptive_rays if hasattr(self, "_adaptive_rays") else self.n_rays
         while done < n_steps:
-            if self.use_grid and self.host_step < self.grid_warmup_steps:
+            warmup = self.use_grid and self.host_step < self.grid_warmup_steps
+            if warmup:
                 n = min(self.grid_warmup_steps - self.host_step, n_steps - done)
-                # first full-sweep update once at step 0
                 if self.host_step == 0:
                     state = self._grid_update(state, True)
-                state, ls, _ = self._scan_steps(state, n, True)
             else:
                 n = min(self.grid_update_cadence, n_steps - done)
                 if self.use_grid:
                     state = self._grid_update(state, False)
-                state, ls, _ = self._scan_steps(state, n, False)
+            state, ls, n_samples = self._scan_steps(state, n, warmup, cur_rays)
             self.host_step += n
             done += n
+            if adaptive_rays and self.use_grid and not warmup:
+                measured = float(jnp.mean(n_samples))
+                if measured > 0:
+                    import math as _math
+
+                    ideal = cur_rays * self.batch_size / measured
+                    bucket = 1 << int(round(_math.log2(max(ideal, 1.0))))
+                    # cap so the dense (R, K) march tensors stay bounded
+                    # (~(R*K*21 B); 2^16 rays x 1024 steps ~ 1.4 GB)
+                    cur_rays = int(np.clip(bucket, 1024, 1 << 16))
             if log_every and (done // log_every) != ((done - n) // log_every):
                 loss = float(ls[-1])
                 losses.append(loss)
-                log_fn(f"step {self.host_step}: loss {loss:.6f}")
+                log_fn(f"step {self.host_step}: loss {loss:.6f} "
+                       f"rays/batch {cur_rays}")
+        self._adaptive_rays = cur_rays
+        if not losses and n_steps > 0:
+            losses.append(float(ls[-1]))
         return state, losses
 
     # ------------------------------------------------------------ rendering
