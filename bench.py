@@ -60,12 +60,12 @@ def main():
 
     # warmup: compiles + grid warmup cadence
     t0 = time.time()
-    state, _ = trainer.train(state, 48)
+    state, _ = trainer.train(state, 48, adaptive_rays=False)
     log(f"warmup 48 steps in {time.time()-t0:.1f}s")
 
     n_steps = 192
     t0 = time.time()
-    state, _ = trainer.train(state, n_steps)
+    state, _ = trainer.train(state, n_steps, adaptive_rays=False)
     jax.block_until_ready(state.params.hash_table)
     dt = time.time() - t0
     # throughput accounting matches the reference: the training batch is

@@ -8,11 +8,20 @@ import jax.numpy as jnp
 
 
 def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues. aa: (..., 3) -> (..., 3, 3)."""
-    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
-    small = theta < 1e-8
-    axis = aa / jnp.where(small, 1.0, theta)
-    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    """Rodrigues, gradient-safe at aa = 0 (the identity-pose starting
+    point of camera optimization): uses the UNNORMALIZED cross-product
+    matrix with sin(t)/t and (1-cos t)/t^2 coefficients, switching to
+    their Taylor series near zero so neither values nor grads blow up."""
+    theta2 = jnp.sum(aa * aa, axis=-1, keepdims=True)
+    # fp32-safe floor: the exact branch (and its autodiff) must never see
+    # theta^4 underflow; the series branch covers theta2 < 1e-8 exactly
+    # enough (error ~ theta2^2)
+    safe2 = jnp.maximum(theta2, 1e-8)
+    theta = jnp.sqrt(safe2)
+    small = theta2 < 1e-8
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
+    x, y, z = aa[..., 0], aa[..., 1], aa[..., 2]
     zero = jnp.zeros_like(x)
     K = jnp.stack(
         [
@@ -22,10 +31,8 @@ def axis_angle_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-2,
     )
-    t = theta[..., None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
-    R = eye + jnp.sin(t) * K + (1.0 - jnp.cos(t)) * (K @ K)
-    return jnp.where(small[..., None], eye, R)
+    return eye + A[..., None] * K + B[..., None] * (K @ K)
 
 
 def matrix_to_axis_angle(R: jnp.ndarray) -> jnp.ndarray:

@@ -104,6 +104,8 @@ class CompactedSamples(NamedTuple):
     xs: jnp.ndarray        # (S, 3)
     dirs: jnp.ndarray      # (S, 3) warped directions
     dt: jnp.ndarray        # (S,)
+    t: jnp.ndarray         # (S,) sample distance along its ray
+    ray_idx: jnp.ndarray   # (S,) int32 owning ray
     target_slot: jnp.ndarray  # (R*K,) int32 in [0, S]; S == dropped/invalid
     valid: jnp.ndarray     # (R, K) bool after capacity clipping
     n_valid: jnp.ndarray   # () int32 — samples before clipping (feedback)
@@ -130,12 +132,15 @@ def compact_samples(
 
     xs = samples.xs.reshape(R * K, 3)[inv]
     dt = samples.dt.reshape(R * K)[inv]
+    t = samples.t.reshape(R * K)[inv]
     ray_of = inv // K
     dirs = dirs_warped[ray_of]
     return CompactedSamples(
         xs=xs,
         dirs=dirs,
         dt=dt,
+        t=t,
+        ray_idx=ray_of,
         target_slot=slot,
         valid=keep.reshape(R, K),
         n_valid=pos[-1] + 1,

@@ -50,11 +50,23 @@ def scene_aabb(aabb_scale: int) -> BoundingBox:
     )
 
 
+from typing import Any
+
+from .camera_opt import (
+    CameraOptParams,
+    CameraOptState,
+    apply_camera_opt,
+    camera_opt_update,
+    init_camera_opt,
+)
+
+
 class NerfTrainState(NamedTuple):
     params: NerfParams
     opt_state: NGPOptState
     grid: OccupancyGridState
     key: jax.Array
+    cam_opt: Any = None      # CameraOptState when pose/exposure opt is on
 
 
 class NerfTrainer:
@@ -71,6 +83,8 @@ class NerfTrainer:
         random_bg: bool = True,
         grid_update_cadence: int = 16,
         grid_warmup_steps: int = 256,
+        optimize_extrinsics: bool = False,
+        optimize_exposure: bool = False,
     ):
         self.network = network
         self.n_rays = n_rays
@@ -86,6 +100,8 @@ class NerfTrainer:
         self.grid = OccupancyGrid(dataset.aabb_scale)
         self.grid_update_cadence = grid_update_cadence
         self.grid_warmup_steps = grid_warmup_steps
+        self.optimize_extrinsics = optimize_extrinsics
+        self.optimize_exposure = optimize_exposure
         self.host_step = 0
 
         # Device-resident dataset (uint8 keeps HBM small; gathers decode).
@@ -113,12 +129,15 @@ class NerfTrainer:
             # Before the first density update, every *visible* cell counts as
             # occupied so the first training steps can march everywhere.
             gstate = gstate._replace(bitfield=gstate.density >= 0.0)
-        return NerfTrainState(params, self.opt.init(params), gstate, k2)
+        cam_opt = (init_camera_opt(int(self.images.shape[0]))
+                   if (self.optimize_extrinsics or self.optimize_exposure)
+                   else None)
+        return NerfTrainState(params, self.opt.init(params), gstate, k2,
+                              cam_opt)
 
     # ------------------------------------------------------------- training
-    def _sample_rays(self, key, n_rays: int | None = None):
-        """Random (image, pixel) rays + their sRGB+alpha targets."""
-        n_rays = n_rays or self.n_rays
+    def _sample_pixels(self, key, n_rays: int):
+        """Random (image, pixel) picks + their sRGB+alpha targets."""
         n_img, h, w = self.images.shape[:3]
         k_img, k_uv = jax.random.split(key)
         img_idx = jax.random.randint(k_img, (n_rays,), 0, n_img)
@@ -126,11 +145,21 @@ class NerfTrainer:
         px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
         py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
         texel = self.images[img_idx, py, px].astype(jnp.float32) / 255.0
+        return img_idx, uv, texel
+
+    def _rays_for(self, img_idx, uv, cam_params: CameraOptParams | None = None):
+        xf = self.xforms
+        cams = (apply_camera_opt(xf, cam_params, img_idx)
+                if cam_params is not None else xf[img_idx])
         rays = cam.uv_to_ray_batched(
-            uv, self.xforms[img_idx], self.resolution, self.focal, self.pp
+            uv, cams, self.resolution, self.focal, self.pp
         )
         d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
-        return Ray(rays.o, d_norm), texel
+        return Ray(rays.o, d_norm)
+
+    def _sample_rays(self, key, n_rays: int | None = None):
+        img_idx, uv, texel = self._sample_pixels(key, n_rays or self.n_rays)
+        return self._rays_for(img_idx, uv), texel
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
                        n_rays: int | None = None, batch_size: int | None = None):
@@ -200,13 +229,76 @@ class NerfTrainer:
         loss, grads = jax.value_and_grad(loss_fn)(params)
         return loss, grads, n_samples
 
+    def loss_and_grads_camopt(self, params, cam_params: CameraOptParams,
+                              bitfield, key, n_rays=None, batch_size=None):
+        """Joint network + camera (pose/exposure) gradients.
+
+        The march/compaction runs with the CURRENT pose (non-diff, like
+        the reference which keeps sample generation fixed within a step);
+        inside the loss, sample positions are rebuilt from the corrected
+        rays so autodiff yields exact dL/d(pose) through the exact (non-
+        stochastic) hash encoding. Exposure scales the target like
+        testbed_nerf.cu:1119 (`exp(ln2 * exposure[img])`)."""
+        n_rays = n_rays or self.n_rays
+        batch_size = batch_size or self.batch_size
+        k_pix, k_march, k_bg = jax.random.split(key, 3)
+        img_idx, uv, texel = self._sample_pixels(k_pix, n_rays)
+        rays0 = self._rays_for(img_idx, uv, cam_params)
+        samples = march_rays_grid(
+            Ray(jax.lax.stop_gradient(rays0.o), jax.lax.stop_gradient(rays0.d)),
+            self.aabb, self.grid, bitfield,
+            self.n_march_steps, self.cone_angle, k_march,
+        )
+        dirs0 = (rays0.d + 1.0) * 0.5
+        comp_in = compact_samples(samples, jax.lax.stop_gradient(dirs0),
+                                  batch_size)
+        R, K = samples.valid.shape
+        bg = (jax.random.uniform(k_bg, (n_rays, 3)) if self.random_bg
+              else jnp.ones((n_rays, 3)))
+
+        def loss_fn(params, cam_params):
+            rays = self._rays_for(img_idx, uv, cam_params)
+            o_s = rays.o[comp_in.ray_idx]
+            d_s = rays.d[comp_in.ray_idx]
+            xs = o_s + d_s * comp_in.t[:, None]
+            xs_unit = jnp.clip(self.aabb.relative_pos(xs), 0.0, 1.0)
+            dirs = (d_s + 1.0) * 0.5
+            out = self.network.forward(params, xs_unit, dirs)
+            dense = scatter_back(out, comp_in, R, K)
+            comp = composite_rays(
+                dense[..., :3], dense[..., 3], samples.dt, samples.t,
+                comp_in.valid, TRAIN_T_EPS,
+            )
+            pred = comp.rgb + comp.transmittance[:, None] * bg
+            exposure_scale = jnp.exp2(cam_params.exposure[img_idx])[:, None]
+            target = (texel[:, :3] * exposure_scale * texel[:, 3:]
+                      + (1.0 - texel[:, 3:]) * bg)
+            return jnp.mean(self.loss_fn(pred, target))
+
+        loss, (g_net, g_cam) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            params, cam_params)
+        if not self.optimize_extrinsics:
+            g_cam = g_cam._replace(rot=jnp.zeros_like(g_cam.rot),
+                                   trans=jnp.zeros_like(g_cam.trans))
+        if not self.optimize_exposure:
+            g_cam = g_cam._replace(exposure=jnp.zeros_like(g_cam.exposure))
+        return loss, g_net, g_cam, comp_in.n_valid
+
     def _train_step(self, state: NerfTrainState, n_rays: int | None = None):
         key, k_step = jax.random.split(state.key)
-        loss, grads, n_samples = self.loss_and_grads(
-            state.params, state.grid.bitfield, k_step, n_rays=n_rays
-        )
+        if state.cam_opt is not None:
+            loss, grads, g_cam, n_samples = self.loss_and_grads_camopt(
+                state.params, state.cam_opt.params, state.grid.bitfield,
+                k_step, n_rays=n_rays)
+            cam_opt = camera_opt_update(state.cam_opt, g_cam)
+        else:
+            loss, grads, n_samples = self.loss_and_grads(
+                state.params, state.grid.bitfield, k_step, n_rays=n_rays
+            )
+            cam_opt = None
         params, opt_state = self.opt.update(grads, state.opt_state, state.params)
-        return NerfTrainState(params, opt_state, state.grid, key), loss, n_samples
+        return (NerfTrainState(params, opt_state, state.grid, key, cam_opt),
+                loss, n_samples)
 
     def _grid_update_fn(self, state: NerfTrainState, full_sweep: bool):
         M = self.grid.n_cascades * self.grid.G**3
