@@ -51,7 +51,7 @@ class ShardedNerfTrainer:
         )
         def sharded_core(state: NerfTrainState, key):
             shard_key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
-            loss, grads, n_samples = trainer.loss_and_grads(
+            loss, grads, n_samples, _aux = trainer.loss_and_grads(
                 state.params,
                 state.grid.bitfield,
                 shard_key,

@@ -67,6 +67,7 @@ class NerfTrainState(NamedTuple):
     grid: OccupancyGridState
     key: jax.Array
     cam_opt: Any = None      # CameraOptState when pose/exposure opt is on
+    error_map: Any = None    # (N_img, E, E) loss map when importance sampling
 
 
 class NerfTrainer:
@@ -85,6 +86,7 @@ class NerfTrainer:
         grid_warmup_steps: int = 256,
         optimize_extrinsics: bool = False,
         optimize_exposure: bool = False,
+        use_error_map: bool = False,
     ):
         self.network = network
         self.n_rays = n_rays
@@ -102,6 +104,7 @@ class NerfTrainer:
         self.grid_warmup_steps = grid_warmup_steps
         self.optimize_extrinsics = optimize_extrinsics
         self.optimize_exposure = optimize_exposure
+        self.use_error_map = use_error_map
         self.host_step = 0
 
         # Device-resident dataset (uint8 keeps HBM small; gathers decode).
@@ -132,16 +135,26 @@ class NerfTrainer:
         cam_opt = (init_camera_opt(int(self.images.shape[0]))
                    if (self.optimize_extrinsics or self.optimize_exposure)
                    else None)
+        from .error_map import init_error_map
+
+        emap = (init_error_map(int(self.images.shape[0]))
+                if self.use_error_map else None)
         return NerfTrainState(params, self.opt.init(params), gstate, k2,
-                              cam_opt)
+                              cam_opt, emap)
 
     # ------------------------------------------------------------- training
-    def _sample_pixels(self, key, n_rays: int):
-        """Random (image, pixel) picks + their sRGB+alpha targets."""
+    def _sample_pixels(self, key, n_rays: int, error_map=None):
+        """Random (image, pixel) picks + their sRGB+alpha targets. With an
+        error map, half the pixels come from the per-image error CDF."""
         n_img, h, w = self.images.shape[:3]
         k_img, k_uv = jax.random.split(key)
         img_idx = jax.random.randint(k_img, (n_rays,), 0, n_img)
-        uv = jax.random.uniform(k_uv, (n_rays, 2))
+        if error_map is not None:
+            from .error_map import sample_uv
+
+            uv = sample_uv(k_uv, error_map, img_idx)
+        else:
+            uv = jax.random.uniform(k_uv, (n_rays, 2))
         px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
         py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
         texel = self.images[img_idx, py, px].astype(jnp.float32) / 255.0
@@ -162,15 +175,18 @@ class NerfTrainer:
         return self._rays_for(img_idx, uv), texel
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
-                       n_rays: int | None = None, batch_size: int | None = None):
+                       n_rays: int | None = None, batch_size: int | None = None,
+                       error_map=None):
         """Pure core of one training step: sample rays -> march -> loss ->
         grads. Shared by the single-chip jit and the shard_map data-parallel
         path (dist/sharded.py), which calls it per-shard and psums the
-        result."""
+        result. Returns (loss, grads, n_samples, aux) with aux =
+        (img_idx, uv, per_ray_loss) for the error-map deposit."""
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
         k_rays, k_march, k_bg, k_u = jax.random.split(key, 4)
-        rays, texel = self._sample_rays(k_rays, n_rays)
+        img_idx, uv, texel = self._sample_pixels(k_rays, n_rays, error_map)
+        rays = self._rays_for(img_idx, uv)
         R = n_rays
 
         if self.random_bg:
@@ -203,7 +219,8 @@ class NerfTrainer:
                     comp_in.valid, TRAIN_T_EPS,
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
-                return jnp.mean(self.loss_fn(pred, target))
+                per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
+                return jnp.mean(per_ray), per_ray
 
             n_samples = comp_in.n_valid
         else:
@@ -222,12 +239,13 @@ class NerfTrainer:
                     samples.valid, TRAIN_T_EPS,
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
-                return jnp.mean(self.loss_fn(pred, target))
+                per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
+                return jnp.mean(per_ray), per_ray
 
             n_samples = jnp.sum(samples.valid)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        return loss, grads, n_samples
+        (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, grads, n_samples, (img_idx, uv, per_ray)
 
     def loss_and_grads_camopt(self, params, cam_params: CameraOptParams,
                               bitfield, key, n_rays=None, batch_size=None):
@@ -286,18 +304,25 @@ class NerfTrainer:
 
     def _train_step(self, state: NerfTrainState, n_rays: int | None = None):
         key, k_step = jax.random.split(state.key)
+        emap = state.error_map
         if state.cam_opt is not None:
             loss, grads, g_cam, n_samples = self.loss_and_grads_camopt(
                 state.params, state.cam_opt.params, state.grid.bitfield,
                 k_step, n_rays=n_rays)
             cam_opt = camera_opt_update(state.cam_opt, g_cam)
         else:
-            loss, grads, n_samples = self.loss_and_grads(
-                state.params, state.grid.bitfield, k_step, n_rays=n_rays
+            loss, grads, n_samples, aux = self.loss_and_grads(
+                state.params, state.grid.bitfield, k_step, n_rays=n_rays,
+                error_map=emap,
             )
             cam_opt = None
+            if emap is not None:
+                from .error_map import deposit
+
+                emap = deposit(emap, *aux)
         params, opt_state = self.opt.update(grads, state.opt_state, state.params)
-        return (NerfTrainState(params, opt_state, state.grid, key, cam_opt),
+        return (NerfTrainState(params, opt_state, state.grid, key, cam_opt,
+                               emap),
                 loss, n_samples)
 
     def _grid_update_fn(self, state: NerfTrainState, full_sweep: bool):
