@@ -58,15 +58,16 @@ def main():
                           use_grid=True)
     state = trainer.init(jax.random.PRNGKey(1337))
 
-    # warmup: compiles + grid warmup cadence
+    # warmup: compiles + grid warmup cadence. train() host-syncs once per
+    # scan block (block_until_ready is unreliable through the remote-TPU
+    # relay; unsynced loops crash the worker by flooding its queue).
     t0 = time.time()
-    state, _ = trainer.train(state, 48, adaptive_rays=False)
-    log(f"warmup 48 steps in {time.time()-t0:.1f}s")
+    state, _ = trainer.train(state, 32, adaptive_rays=False)
+    log(f"warmup 32 steps in {time.time()-t0:.1f}s")
 
-    n_steps = 192
+    n_steps = 128
     t0 = time.time()
     state, _ = trainer.train(state, n_steps, adaptive_rays=False)
-    jax.block_until_ready(state.params.hash_table)
     dt = time.time() - t0
     # throughput accounting matches the reference: the training batch is
     # `batch_size` samples per step (compaction fills it)

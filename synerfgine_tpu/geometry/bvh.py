@@ -30,9 +30,23 @@ class TriangleBvh:
     right (M,); first (M,), count (M,) triangle range for leaves.
     Triangles are reordered so leaves own contiguous ranges."""
 
-    def __init__(self, tris: np.ndarray):
+    def __init__(self, tris: np.ndarray, use_native: bool = True):
         tris = np.asarray(tris, np.float32)
         self.n_tris = len(tris)
+        if use_native and self.n_tris > 0:
+            from .native import bvh_build_native
+
+            nb = bvh_build_native(tris, LEAF_SIZE)
+            if nb is not None:
+                self.tris = jnp.asarray(tris[nb["order"]])
+                self.bounds_lo = jnp.asarray(nb["lo"])
+                self.bounds_hi = jnp.asarray(nb["hi"])
+                self.left = jnp.asarray(nb["left"])
+                self.right = jnp.asarray(nb["right"])
+                self.first = jnp.asarray(nb["first"])
+                self.count = jnp.asarray(nb["count"])
+                self.n_nodes = len(nb["left"])
+                return
         lo_list, hi_list, left, right, first, count = [], [], [], [], [], []
         centroids = tris.mean(axis=1)
         order = np.arange(len(tris))

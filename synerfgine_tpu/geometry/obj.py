@@ -12,7 +12,19 @@ import numpy as np
 
 
 def load_obj(path: str) -> np.ndarray:
-    """Returns triangles (T, 3, 3) float32 — [tri][vertex][xyz]."""
+    """Returns triangles (T, 3, 3) float32 — [tri][vertex][xyz].
+
+    Uses the native C++ parser (native/geometry.cpp) when built; pure
+    Python otherwise."""
+    from .native import load_obj_native
+
+    native = load_obj_native(path)
+    if native is not None:
+        return native
+    return _load_obj_py(path)
+
+
+def _load_obj_py(path: str) -> np.ndarray:
     verts: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []
     with open(path) as f:

@@ -390,6 +390,11 @@ class NerfTrainer:
                 if self.use_grid:
                     state = self._grid_update(state, False)
             state, ls, n_samples = self._scan_steps(state, n, warmup, cur_rays)
+            # host-sync once per block: the remote-TPU relay treats
+            # block_until_ready as a no-op, so an unsynced loop floods the
+            # worker's execution queue (observed worker crashes); a scalar
+            # fetch paces the loop at negligible cost
+            last_loss = float(ls[-1])
             self.host_step += n
             done += n
             if adaptive_rays and self.use_grid and not warmup:
@@ -403,13 +408,12 @@ class NerfTrainer:
                     # (~(R*K*21 B); 2^16 rays x 1024 steps ~ 1.4 GB)
                     cur_rays = int(np.clip(bucket, 1024, 1 << 16))
             if log_every and (done // log_every) != ((done - n) // log_every):
-                loss = float(ls[-1])
-                losses.append(loss)
-                log_fn(f"step {self.host_step}: loss {loss:.6f} "
+                losses.append(last_loss)
+                log_fn(f"step {self.host_step}: loss {last_loss:.6f} "
                        f"rays/batch {cur_rays}")
         self._adaptive_rays = cur_rays
         if not losses and n_steps > 0:
-            losses.append(float(ls[-1]))
+            losses.append(last_loss)
         return state, losses
 
     # ------------------------------------------------------------ rendering
