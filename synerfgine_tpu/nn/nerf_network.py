@@ -32,6 +32,8 @@ class NerfParams(NamedTuple):
     hash_table: jnp.ndarray        # (n_params, F) fp32
     density_mlp: list              # list of weight matrices
     rgb_mlp: list
+    envmap: Any = None             # (H, W, 4) trainable environment map
+    distortion: Any = None         # (res, res, 2) trainable lens offsets
 
 
 class NerfNetwork:

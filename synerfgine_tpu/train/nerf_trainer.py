@@ -87,6 +87,8 @@ class NerfTrainer:
         optimize_extrinsics: bool = False,
         optimize_exposure: bool = False,
         use_error_map: bool = False,
+        train_envmap: bool = False,
+        train_distortion: bool = False,
     ):
         self.network = network
         self.n_rays = n_rays
@@ -105,6 +107,8 @@ class NerfTrainer:
         self.optimize_extrinsics = optimize_extrinsics
         self.optimize_exposure = optimize_exposure
         self.use_error_map = use_error_map
+        self.train_envmap = train_envmap
+        self.train_distortion = train_distortion
         self.host_step = 0
 
         # Device-resident dataset (uint8 keeps HBM small; gathers decode).
@@ -124,6 +128,14 @@ class NerfTrainer:
     def init(self, key: jax.Array, mark_untrained: bool = True) -> NerfTrainState:
         k1, k2 = jax.random.split(key)
         params = self.network.init(k1)
+        if self.train_envmap:
+            from ..nn.envmap import init_envmap
+
+            params = params._replace(envmap=init_envmap())
+        if self.train_distortion:
+            from ..nn.envmap import init_distortion
+
+            params = params._replace(distortion=init_distortion())
         gstate = self.grid.init()
         if self.use_grid and mark_untrained:
             gstate = self.grid.mark_untrained(
@@ -132,8 +144,11 @@ class NerfTrainer:
             # Before the first density update, every *visible* cell counts as
             # occupied so the first training steps can march everywhere.
             gstate = gstate._replace(bitfield=gstate.density >= 0.0)
+        # distortion training shares the "rays rebuilt inside the loss"
+        # pathway, so it rides the camera-opt state (zero-grad pose).
         cam_opt = (init_camera_opt(int(self.images.shape[0]))
-                   if (self.optimize_extrinsics or self.optimize_exposure)
+                   if (self.optimize_extrinsics or self.optimize_exposure
+                       or self.train_distortion)
                    else None)
         from .error_map import init_error_map
 
@@ -160,10 +175,15 @@ class NerfTrainer:
         texel = self.images[img_idx, py, px].astype(jnp.float32) / 255.0
         return img_idx, uv, texel
 
-    def _rays_for(self, img_idx, uv, cam_params: CameraOptParams | None = None):
+    def _rays_for(self, img_idx, uv, cam_params: CameraOptParams | None = None,
+                  distortion=None):
         xf = self.xforms
         cams = (apply_camera_opt(xf, cam_params, img_idx)
                 if cam_params is not None else xf[img_idx])
+        if distortion is not None:
+            from ..nn.envmap import apply_distortion
+
+            uv = apply_distortion(distortion, uv)
         rays = cam.uv_to_ray_batched(
             uv, cams, self.resolution, self.focal, self.pp
         )
@@ -190,11 +210,19 @@ class NerfTrainer:
         R = n_rays
 
         if self.random_bg:
-            bg = jax.random.uniform(k_bg, (R, 3))
+            bg0 = jax.random.uniform(k_bg, (R, 3))
         else:
-            bg = jnp.ones((R, 3))
-        target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:]) * bg
+            bg0 = jnp.ones((R, 3))
         dirs_warped = (rays.d + 1.0) * 0.5
+
+        def background(p):
+            """Random/fixed bg, with the trainable envmap composited on
+            top when enabled (gradients reach p.envmap through here)."""
+            if self.train_envmap and p.envmap is not None:
+                from ..nn.envmap import envmap_background
+
+                return envmap_background(p.envmap, rays.d, bg0)
+            return bg0
 
         net_apply = jax.checkpoint(
             lambda p, x, d, u=None: self.network.forward(p, x, d, grad_u=u)
@@ -212,6 +240,8 @@ class NerfTrainer:
                 k_u, (self.network.pos_encoding.n_levels, batch_size))
 
             def loss_fn(params):
+                bg = background(params)
+                target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:]) * bg
                 out = net_apply(params, xs_unit, comp_in.dirs, grad_u)
                 dense = scatter_back(out, comp_in, R, K)
                 comp = composite_rays(
@@ -229,6 +259,8 @@ class NerfTrainer:
             xs_unit = jnp.clip(self.aabb.relative_pos(samples.xs), 0.0, 1.0)
 
             def loss_fn(params):
+                bg = background(params)
+                target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:]) * bg
                 out = net_apply(
                     params,
                     xs_unit.reshape(R * K, 3),
@@ -275,7 +307,9 @@ class NerfTrainer:
               else jnp.ones((n_rays, 3)))
 
         def loss_fn(params, cam_params):
-            rays = self._rays_for(img_idx, uv, cam_params)
+            rays = self._rays_for(
+                img_idx, uv, cam_params,
+                distortion=params.distortion if self.train_distortion else None)
             o_s = rays.o[comp_in.ray_idx]
             d_s = rays.d[comp_in.ray_idx]
             xs = o_s + d_s * comp_in.t[:, None]
@@ -287,10 +321,16 @@ class NerfTrainer:
                 dense[..., :3], dense[..., 3], samples.dt, samples.t,
                 comp_in.valid, TRAIN_T_EPS,
             )
-            pred = comp.rgb + comp.transmittance[:, None] * bg
+            if self.train_envmap and params.envmap is not None:
+                from ..nn.envmap import envmap_background
+
+                bg_eff = envmap_background(params.envmap, rays.d, bg)
+            else:
+                bg_eff = bg
+            pred = comp.rgb + comp.transmittance[:, None] * bg_eff
             exposure_scale = jnp.exp2(cam_params.exposure[img_idx])[:, None]
             target = (texel[:, :3] * exposure_scale * texel[:, 3:]
-                      + (1.0 - texel[:, 3:]) * bg)
+                      + (1.0 - texel[:, 3:]) * bg_eff)
             return jnp.mean(self.loss_fn(pred, target))
 
         loss, (g_net, g_cam) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
