@@ -62,12 +62,16 @@ def main():
     # scan block (block_until_ready is unreliable through the remote-TPU
     # relay; unsynced loops crash the worker by flooding its queue).
     t0 = time.time()
-    state, _ = trainer.train(state, 32, adaptive_rays=False)
+    state, _ = trainer.train(state, 32, adaptive_rays=False,
+                             log_every=16, log_fn=log)
     log(f"warmup 32 steps in {time.time()-t0:.1f}s")
 
-    n_steps = 128
+    # short measurement: the remote TPU worker tolerates only a few
+    # minutes of sustained load before being recycled
+    n_steps = 48
     t0 = time.time()
-    state, _ = trainer.train(state, n_steps, adaptive_rays=False)
+    state, _ = trainer.train(state, n_steps, adaptive_rays=False,
+                             log_every=16, log_fn=log)
     dt = time.time() - t0
     # throughput accounting matches the reference: the training batch is
     # `batch_size` samples per step (compaction fills it)
@@ -82,5 +86,33 @@ def main():
     }))
 
 
+def _run_with_retries(max_tries: int = 3):
+    """The remote TPU worker occasionally crashes under sustained load;
+    a fresh process reconnects cleanly, so retry in subprocesses."""
+    import os
+    import subprocess
+
+    for attempt in range(max_tries):
+        r = subprocess.run(
+            [sys.executable, __file__, "--inner"],
+            capture_output=True, text=True, timeout=2400,
+        )
+        sys.stderr.write(r.stderr)
+        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        log(f"bench attempt {attempt+1} failed (rc={r.returncode}); retrying")
+        time.sleep(20)
+    # last resort: emit a null measurement rather than nothing
+    print(json.dumps({"metric": "train_samples_per_s", "value": 0,
+                      "unit": "samples/s", "vs_baseline": 0.0,
+                      "error": "bench failed after retries"}))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(_run_with_retries())
