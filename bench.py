@@ -64,7 +64,10 @@ def main():
     t0 = time.time()
     state, _ = trainer.train(state, 32, adaptive_rays=False,
                              log_every=16, log_fn=log)
-    log(f"warmup 32 steps in {time.time()-t0:.1f}s")
+    # one post-warmup block so the steady-state scan variant is compiled
+    # before the timed window
+    state, _ = trainer.train(state, 16, adaptive_rays=False)
+    log(f"warmup 32+16 steps in {time.time()-t0:.1f}s")
 
     # short measurement: the remote TPU worker tolerates only a few
     # minutes of sustained load before being recycled

@@ -123,6 +123,23 @@ def cmd_render(args):
     state = restore_train_state(trainer, load_snapshot(args.load_snapshot))
     out_dir = pathlib.Path(args.out or "renders")
     out_dir.mkdir(parents=True, exist_ok=True)
+    if args.camera_path:
+        # spline-interpolated video frames (run.py video path; assemble
+        # with ffmpeg externally)
+        from ..render.camera_path import CameraPath
+
+        cp = CameraPath.load(args.camera_path)
+        n = args.n_frames
+        for i in range(n):
+            kf = cp.eval(i / max(n - 1, 1))
+            out = trainer.render_image(
+                state.params, kf.to_matrix(),
+                width=args.width, height=args.height,
+                grid_state=state.grid if not args.no_grid else None,
+            )
+            write_image(str(out_dir / f"frame_{i:04d}.png"), out["rgb"])
+        print(f"wrote {n} camera-path frames to {out_dir}")
+        return
     n = args.n_views or ds.n_images
     for i in range(min(n, ds.n_images)):
         out = trainer.render_image(
@@ -245,6 +262,9 @@ def main(argv=None):
     sp.add_argument("--n-views", type=int, default=None)
     sp.add_argument("--width", type=int, default=None)
     sp.add_argument("--height", type=int, default=None)
+    sp.add_argument("--camera-path", default=None,
+                    help="CameraPath json; renders spline frames instead")
+    sp.add_argument("--n-frames", type=int, default=60)
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("hybrid")

@@ -100,16 +100,18 @@ class ImageTrainer:
             model.config.optimizer,
             l2_mask_fn=lambda p: {"hash_table": False, "mlp": [True] * len(p["mlp"])},
         )
+        # image threaded as an explicit jit argument (captured device
+        # constants are re-uploaded per dispatch by the remote-TPU relay)
         self._step = jax.jit(self._train_step)
 
     def init(self, key) -> ImageFitState:
         params = self.model.init(key)
         return ImageFitState(params, self.opt.init(params), key)
 
-    def _train_step(self, state: ImageFitState):
+    def _train_step(self, state: ImageFitState, image):
         key, k_uv = jax.random.split(state.key)
         uv = jax.random.uniform(k_uv, (self.batch_size, 2))
-        target = bilinear_sample(self.image, uv)
+        target = bilinear_sample(image, uv)
 
         def loss(p):
             pred = self.model(p, uv)
@@ -120,7 +122,7 @@ class ImageTrainer:
         return ImageFitState(params, opt_state, key), loss_val
 
     def step(self, state: ImageFitState):
-        return self._step(state)
+        return self._step(state, self.image)
 
     def render(self, state: ImageFitState, width: int | None = None,
                height: int | None = None, chunk: int = 1 << 16) -> np.ndarray:

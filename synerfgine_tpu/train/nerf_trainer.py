@@ -112,18 +112,23 @@ class NerfTrainer:
         self.host_step = 0
 
         # Device-resident dataset (uint8 keeps HBM small; gathers decode).
+        # NOTE: these MUST be threaded through jit entry points as explicit
+        # arguments — jit-captured device constants are re-materialized on
+        # every dispatch by the remote-TPU relay (measured 164 vs 10 ms for
+        # a 55 MB capture).
         self.images = jnp.asarray(dataset.images)          # (N, H, W, 4) u8
         self.xforms = jnp.asarray(dataset.xforms)          # (N, 3, 4)
         self.resolution = dataset.resolution               # (W, H)
         self.focal = jnp.asarray(dataset.focal_length)
         self.pp = jnp.asarray(dataset.principal_point)
+        self.data = {"images": self.images, "xforms": self.xforms}
 
         self._step = jax.jit(self._train_step, donate_argnums=(0,),
                              static_argnums=(1,))
         self._grid_update = jax.jit(self._grid_update_fn, donate_argnums=(0,),
                                     static_argnums=(1,))
         self._scan_steps = jax.jit(self._train_scan, donate_argnums=(0,),
-                                   static_argnums=(1, 2, 3))
+                                   static_argnums=(2, 3, 4))
 
     def init(self, key: jax.Array, mark_untrained: bool = True) -> NerfTrainState:
         k1, k2 = jax.random.split(key)
@@ -158,10 +163,11 @@ class NerfTrainer:
                               cam_opt, emap)
 
     # ------------------------------------------------------------- training
-    def _sample_pixels(self, key, n_rays: int, error_map=None):
+    def _sample_pixels(self, data, key, n_rays: int, error_map=None):
         """Random (image, pixel) picks + their sRGB+alpha targets. With an
         error map, half the pixels come from the per-image error CDF."""
-        n_img, h, w = self.images.shape[:3]
+        images = data["images"]
+        n_img, h, w = images.shape[:3]
         k_img, k_uv = jax.random.split(key)
         img_idx = jax.random.randint(k_img, (n_rays,), 0, n_img)
         if error_map is not None:
@@ -172,12 +178,13 @@ class NerfTrainer:
             uv = jax.random.uniform(k_uv, (n_rays, 2))
         px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
         py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
-        texel = self.images[img_idx, py, px].astype(jnp.float32) / 255.0
+        texel = images[img_idx, py, px].astype(jnp.float32) / 255.0
         return img_idx, uv, texel
 
-    def _rays_for(self, img_idx, uv, cam_params: CameraOptParams | None = None,
+    def _rays_for(self, data, img_idx, uv,
+                  cam_params: CameraOptParams | None = None,
                   distortion=None):
-        xf = self.xforms
+        xf = data["xforms"]
         cams = (apply_camera_opt(xf, cam_params, img_idx)
                 if cam_params is not None else xf[img_idx])
         if distortion is not None:
@@ -190,13 +197,14 @@ class NerfTrainer:
         d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
         return Ray(rays.o, d_norm)
 
-    def _sample_rays(self, key, n_rays: int | None = None):
-        img_idx, uv, texel = self._sample_pixels(key, n_rays or self.n_rays)
-        return self._rays_for(img_idx, uv), texel
+    def _sample_rays(self, key, n_rays: int | None = None, data=None):
+        data = data if data is not None else self.data
+        img_idx, uv, texel = self._sample_pixels(data, key, n_rays or self.n_rays)
+        return self._rays_for(data, img_idx, uv), texel
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
                        n_rays: int | None = None, batch_size: int | None = None,
-                       error_map=None):
+                       error_map=None, data=None):
         """Pure core of one training step: sample rays -> march -> loss ->
         grads. Shared by the single-chip jit and the shard_map data-parallel
         path (dist/sharded.py), which calls it per-shard and psums the
@@ -204,9 +212,10 @@ class NerfTrainer:
         (img_idx, uv, per_ray_loss) for the error-map deposit."""
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
+        data = data if data is not None else self.data
         k_rays, k_march, k_bg, k_u = jax.random.split(key, 4)
-        img_idx, uv, texel = self._sample_pixels(k_rays, n_rays, error_map)
-        rays = self._rays_for(img_idx, uv)
+        img_idx, uv, texel = self._sample_pixels(data, k_rays, n_rays, error_map)
+        rays = self._rays_for(data, img_idx, uv)
         R = n_rays
 
         if self.random_bg:
@@ -280,7 +289,8 @@ class NerfTrainer:
         return loss, grads, n_samples, (img_idx, uv, per_ray)
 
     def loss_and_grads_camopt(self, params, cam_params: CameraOptParams,
-                              bitfield, key, n_rays=None, batch_size=None):
+                              bitfield, key, n_rays=None, batch_size=None,
+                              data=None):
         """Joint network + camera (pose/exposure) gradients.
 
         The march/compaction runs with the CURRENT pose (non-diff, like
@@ -291,9 +301,10 @@ class NerfTrainer:
         testbed_nerf.cu:1119 (`exp(ln2 * exposure[img])`)."""
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
+        data = data if data is not None else self.data
         k_pix, k_march, k_bg = jax.random.split(key, 3)
-        img_idx, uv, texel = self._sample_pixels(k_pix, n_rays)
-        rays0 = self._rays_for(img_idx, uv, cam_params)
+        img_idx, uv, texel = self._sample_pixels(data, k_pix, n_rays)
+        rays0 = self._rays_for(data, img_idx, uv, cam_params)
         samples = march_rays_grid(
             Ray(jax.lax.stop_gradient(rays0.o), jax.lax.stop_gradient(rays0.d)),
             self.aabb, self.grid, bitfield,
@@ -308,7 +319,7 @@ class NerfTrainer:
 
         def loss_fn(params, cam_params):
             rays = self._rays_for(
-                img_idx, uv, cam_params,
+                data, img_idx, uv, cam_params,
                 distortion=params.distortion if self.train_distortion else None)
             o_s = rays.o[comp_in.ray_idx]
             d_s = rays.d[comp_in.ray_idx]
@@ -342,18 +353,19 @@ class NerfTrainer:
             g_cam = g_cam._replace(exposure=jnp.zeros_like(g_cam.exposure))
         return loss, g_net, g_cam, comp_in.n_valid
 
-    def _train_step(self, state: NerfTrainState, n_rays: int | None = None):
+    def _train_step(self, state: NerfTrainState, n_rays: int | None = None,
+                    data=None):
         key, k_step = jax.random.split(state.key)
         emap = state.error_map
         if state.cam_opt is not None:
             loss, grads, g_cam, n_samples = self.loss_and_grads_camopt(
                 state.params, state.cam_opt.params, state.grid.bitfield,
-                k_step, n_rays=n_rays)
+                k_step, n_rays=n_rays, data=data)
             cam_opt = camera_opt_update(state.cam_opt, g_cam)
         else:
             loss, grads, n_samples, aux = self.loss_and_grads(
                 state.params, state.grid.bitfield, k_step, n_rays=n_rays,
-                error_map=emap,
+                error_map=emap, data=data,
             )
             cam_opt = None
             if emap is not None:
@@ -378,7 +390,7 @@ class NerfTrainer:
         )
         return state._replace(grid=gstate, key=key)
 
-    def _train_scan(self, state: NerfTrainState, n_steps: int,
+    def _train_scan(self, state: NerfTrainState, data, n_steps: int,
                     update_grid_every_step: bool, n_rays: int | None = None):
         """n_steps training steps fused into ONE device dispatch via
         lax.scan — removes the per-dispatch host/relay round-trip that
@@ -388,7 +400,7 @@ class NerfTrainer:
         def body(s, _):
             if update_grid_every_step and self.use_grid:
                 s = self._grid_update_fn(s, False)
-            s, loss, n_samples = self._train_step(s, n_rays)
+            s, loss, n_samples = self._train_step(s, n_rays, data)
             return s, (loss, n_samples)
 
         state, (losses, n_samples) = jax.lax.scan(
@@ -402,7 +414,7 @@ class NerfTrainer:
             s = self.host_step
             if s < self.grid_warmup_steps or s % self.grid_update_cadence == 0:
                 state = self._grid_update(state, s < self.grid_warmup_steps)
-        state, loss, n_samples = self._step(state)
+        state, loss, n_samples = self._step(state, None, self.data)
         self.host_step += 1
         return state, loss
 
@@ -429,7 +441,8 @@ class NerfTrainer:
                 n = min(self.grid_update_cadence, n_steps - done)
                 if self.use_grid:
                     state = self._grid_update(state, False)
-            state, ls, n_samples = self._scan_steps(state, n, warmup, cur_rays)
+            state, ls, n_samples = self._scan_steps(state, self.data, n,
+                                                    warmup, cur_rays)
             # host-sync once per block: the remote-TPU relay treats
             # block_until_ready as a no-op, so an unsynced loop floods the
             # worker's execution queue (observed worker crashes); a scalar
