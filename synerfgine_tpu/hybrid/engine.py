@@ -85,8 +85,29 @@ class Engine:
         self.frame_idx = 0
         self._acc_rgba = None
         self._acc_cam = None
-        self._nerf_chunk = jax.jit(self._render_nerf_chunk)
+        self._nerf_chunk = jax.jit(self._render_nerf_chunk,
+                                   static_argnums=(6,))
         self.timings: dict[str, float] = {}
+
+        # dynamic resolution (testbed.cu:2909-2971): scale the NeRF pass
+        # to hold `dynamic_res_target_fps`; factor quantized to sqrt(2)
+        # buckets so jit recompiles stay bounded
+        self.dynamic_res = False
+        self.dynamic_res_target_fps = 20.0
+        self._res_factor_idx = 0          # 0 = full res; each +1 = /sqrt(2)
+        self._frame_ms_ema = 30.0
+        self._base_nerf_res = self.nerf_res
+
+    def _update_dynamic_res(self):
+        target_ms = 1000.0 / self.dynamic_res_target_fps
+        if self._frame_ms_ema > target_ms * 1.15 and self._res_factor_idx < 6:
+            self._res_factor_idx += 1
+        elif self._frame_ms_ema < target_ms * 0.5 and self._res_factor_idx > 0:
+            self._res_factor_idx -= 1
+        s = 2.0 ** (-self._res_factor_idx / 2.0)
+        w0, h0 = self._base_nerf_res
+        self.nerf_res = (max(16, int(w0 * s)) // 2 * 2,
+                         max(16, int(h0 * s)) // 2 * 2)
 
     # ------------------------------------------------------------- camera
     def current_camera(self):
@@ -105,10 +126,11 @@ class Engine:
         return np.array([base * zoom, base * zoom], np.float32)
 
     # ----------------------------------------------------------- NeRF pass
-    def _render_nerf_chunk(self, params, bitfield, uv, cm, focal, t_max):
-        """NeRF render stopping at the synthetic depth (trace_alt)."""
-        res = jnp.asarray(self.nerf_res, jnp.float32)
-        rays = cam.uv_to_ray(uv, cm, self.nerf_res, focal)
+    def _render_nerf_chunk(self, params, bitfield, uv, cm, focal, t_max,
+                           res):
+        """NeRF render stopping at the synthetic depth (trace_alt).
+        `res` is static so dynamic resolution retraces correctly."""
+        rays = cam.uv_to_ray(uv, cm, res, focal)
         d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
         rays = Ray(rays.o, d_norm)
         samples = march_rays_grid(
@@ -147,7 +169,7 @@ class Engine:
             rgb, a, dep, o, d = self._nerf_chunk(
                 self.params, self.grid_state.bitfield,
                 jnp.asarray(uv_p[i:i + chunk]), jnp.asarray(cm),
-                jnp.asarray(focal), t_p[i:i + chunk])
+                jnp.asarray(focal), t_p[i:i + chunk], (w, h))
             outs["rgb"].append(rgb); outs["alpha"].append(a)
             outs["depth"].append(dep); outs["o"].append(o); outs["d"].append(d)
         cat = {k: jnp.concatenate(v)[:n] for k, v in outs.items()}
@@ -185,9 +207,10 @@ class Engine:
         (overlay_nerf, raytracer.cu:220-258)."""
         s = self.scene.settings
         sw, sh = self.syn_res
-        scale = max(1, sw // self.nerf_res[0])
-        n_rgb = jnp.repeat(jnp.repeat(nerf["rgb"], scale, 0), scale, 1)[:sh, :sw]
-        n_depth = jnp.repeat(jnp.repeat(nerf["depth"], scale, 0), scale, 1)[:sh, :sw]
+        # nearest-neighbor upsample to the synthetic resolution (handles
+        # any ratio, incl. dynamic-resolution fractions)
+        n_rgb = jax.image.resize(nerf["rgb"], (sh, sw, 3), "nearest")
+        n_depth = jax.image.resize(nerf["depth"], (sh, sw), "nearest")
         # NeRF output rgb is sRGB-space (training space); syn shading is
         # linear. Convert NeRF to linear for the composite.
         from ..io.image import srgb_to_linear
@@ -210,6 +233,8 @@ class Engine:
 
         t_start = time.time()
         s = self.scene.settings
+        if self.dynamic_res and self.frame_idx > 0:
+            self._update_dynamic_res()
         self.scene.next_frame()
         if self.scene.animation_speed > 0:
             self.world = self.scene.pack_device()
@@ -269,6 +294,10 @@ class Engine:
         if self.scene.cam_path is not None:
             self.scene.cam_path.frame_idx = self.frame_idx
         self.timings["frame"] = time.time() - t_start
+        # EMA for the dynamic-resolution controller (seeded 30 ms like
+        # m_render_ms, engine.cuh:97)
+        self._frame_ms_ema = (0.9 * self._frame_ms_ema
+                              + 0.1 * self.timings["frame"] * 1000.0)
         out = {"rgb": np.asarray(rgb), "depth": np.asarray(depth),
                "syn": syn, "nerf": nerf}
 

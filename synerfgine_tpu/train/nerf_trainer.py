@@ -481,9 +481,23 @@ class NerfTrainer:
         bg_color=(0.0, 0.0, 0.0),
         min_transmittance: float = EVAL_MIN_TRANSMITTANCE,
         chunk: int = 1 << 13,
+        spp: int = 1,
+        aperture_size: float = 0.0,
+        focus_z: float = 1.0,
+        render_mode: str = "shade",
+        render_aabb: BoundingBox | None = None,
+        seed: int = 0,
     ) -> dict:
         """Render a full frame (sRGB rgb + alpha + depth), chunked over
-        pixel blocks. Uses the grid marcher when grid_state given."""
+        pixel blocks. Uses the grid marcher when grid_state given.
+
+        Feature parity with the reference renderer (N8/N13):
+        - spp > 1 averages jittered sub-pixel + march offsets (and DOF
+          aperture samples when aperture_size > 0, testbed.cu DOF path);
+        - render_mode in {shade, depth, normals, positions, ao, cost}
+          (ERenderMode subset, common.h:56-68) — normals are derived from
+          the density gradient, cost is march samples per ray;
+        - render_aabb crops rendering to a sub-box (crop AABB)."""
         w = width or self.resolution[0]
         h = height or self.resolution[1]
         use_grid = grid_state is not None
@@ -497,39 +511,85 @@ class NerfTrainer:
             axis=-1,
         ).reshape(-1, 2)
         bg = jnp.asarray(bg_color, jnp.float32)
+        march_aabb = render_aabb if render_aabb is not None else self.aabb
+        mode = render_mode.lower()
 
         @jax.jit
-        def render_chunk(p, gbits, uv):
-            rays = cam.uv_to_ray(uv, cm, (w, h), self.focal, self.pp)
-            d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
-            rays = Ray(rays.o, d_norm)
+        def render_chunk(p, gbits, uv, key):
             R = uv.shape[0]
-            dirs_warped = (d_norm + 1.0) * 0.5
-            if use_grid:
-                samples = march_rays_grid(
-                    rays, self.aabb, self.grid, gbits, n_steps, self.cone_angle
-                )
-                comp_in = compact_samples(samples, dirs_warped, chunk * 64)
-                xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-                out = self.network.forward(p, xs_unit, comp_in.dirs)
-                dense = scatter_back(out, comp_in, R, n_steps)
-                comp = composite_rays(
-                    dense[..., :3], dense[..., 3], samples.dt, samples.t,
-                    comp_in.valid, min_transmittance,
-                )
-            else:
-                samples = sample_fixed_steps(rays, self.aabb, n_steps)
-                xs_unit = jnp.clip(self.aabb.relative_pos(samples.xs), 0.0, 1.0)
-                out = self.network.forward(
-                    p, xs_unit.reshape(R * n_steps, 3),
-                    jnp.repeat(dirs_warped, n_steps, axis=0),
-                ).reshape(R, n_steps, 4)
-                comp = composite_rays(
-                    out[..., :3], out[..., 3], samples.dt, samples.t,
-                    samples.valid, min_transmittance,
-                )
-            rgb = comp.rgb + comp.transmittance[:, None] * bg
-            return rgb, comp.opacity, comp.depth
+            acc = None
+            for s in range(spp):
+                key, k_uv, k_ap, k_m = jax.random.split(key, 4)
+                uv_s = uv
+                if spp > 1:
+                    uv_s = uv + (jax.random.uniform(k_uv, uv.shape) - 0.5) / jnp.asarray([w, h])
+                ap_uv = (jax.random.uniform(k_ap, (R, 2))
+                         if aperture_size > 0 else None)
+                rays = cam.uv_to_ray(uv_s, cm, (w, h), self.focal, self.pp,
+                                     aperture_size=aperture_size,
+                                     focus_z=focus_z, aperture_uv=ap_uv)
+                d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
+                rays = Ray(rays.o, d_norm)
+                dirs_warped = (d_norm + 1.0) * 0.5
+                if use_grid:
+                    samples = march_rays_grid(
+                        rays, march_aabb, self.grid, gbits, n_steps,
+                        self.cone_angle, k_m if spp > 1 else None,
+                    )
+                    comp_in = compact_samples(samples, dirs_warped, chunk * 64)
+                    xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
+                    out = self.network.forward(p, xs_unit, comp_in.dirs)
+                    dense = scatter_back(out, comp_in, R, n_steps)
+                    comp = composite_rays(
+                        dense[..., :3], dense[..., 3], samples.dt, samples.t,
+                        comp_in.valid, min_transmittance,
+                    )
+                    n_marched = jnp.sum(samples.valid, axis=1)
+                else:
+                    samples = sample_fixed_steps(rays, march_aabb, n_steps)
+                    xs_unit = jnp.clip(self.aabb.relative_pos(samples.xs), 0.0, 1.0)
+                    out = self.network.forward(
+                        p, xs_unit.reshape(R * n_steps, 3),
+                        jnp.repeat(dirs_warped, n_steps, axis=0),
+                    ).reshape(R, n_steps, 4)
+                    comp = composite_rays(
+                        out[..., :3], out[..., 3], samples.dt, samples.t,
+                        samples.valid, min_transmittance,
+                    )
+                    n_marched = jnp.sum(samples.valid, axis=1)
+
+                if mode == "depth":
+                    rgb = jnp.broadcast_to(comp.depth[:, None], (R, 3))
+                elif mode == "positions":
+                    term = rays.o + rays.d * comp.depth[:, None]
+                    rgb = jnp.clip(self.aabb.relative_pos(term), 0.0, 1.0)
+                elif mode == "cost":
+                    rgb = jnp.broadcast_to(
+                        (n_marched.astype(jnp.float32) / n_steps)[:, None], (R, 3))
+                elif mode in ("normals", "ao"):
+                    term = rays.o + rays.d * comp.depth[:, None]
+                    xs_t = jnp.clip(self.aabb.relative_pos(term), 0.0, 1.0)
+                    eps = 2e-3
+                    g = []
+                    for ax in range(3):
+                        e = jnp.zeros(3).at[ax].set(eps)
+                        g.append(
+                            self.network.density(p, jnp.clip(xs_t + e, 0, 1))[:, 0]
+                            - self.network.density(p, jnp.clip(xs_t - e, 0, 1))[:, 0])
+                    n_vec = -jnp.stack(g, -1).astype(jnp.float32)
+                    n_vec = n_vec / jnp.maximum(
+                        jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-9)
+                    if mode == "normals":
+                        rgb = 0.5 * (n_vec + 1.0) * comp.opacity[:, None]
+                    else:  # ao: headlight-style n.v shading
+                        rgb = jnp.broadcast_to(
+                            jnp.abs(jnp.sum(n_vec * rays.d, -1))[:, None], (R, 3)
+                        ) * comp.opacity[:, None]
+                else:
+                    rgb = comp.rgb + comp.transmittance[:, None] * bg
+                res = (rgb, comp.opacity, comp.depth)
+                acc = res if acc is None else tuple(a + b for a, b in zip(acc, res))
+            return tuple(a / spp for a in acc)
 
         gbits = grid_state.bitfield if use_grid else None
         rgbs, alphas, depths = [], [], []
@@ -538,7 +598,8 @@ class NerfTrainer:
         uv_pad = np.concatenate([uv_all, np.zeros((pad, 2), np.float32)])
         for i in range(0, uv_pad.shape[0], chunk):
             uv = jnp.asarray(uv_pad[i : i + chunk])
-            r, a, d = render_chunk(params, gbits, uv)
+            r, a, d = render_chunk(params, gbits, uv,
+                                   jax.random.PRNGKey(seed + i))
             rgbs.append(np.asarray(r))
             alphas.append(np.asarray(a))
             depths.append(np.asarray(d))

@@ -1,0 +1,54 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from synerfgine_tpu.data import load_nerf_dataset
+from synerfgine_tpu.train.nerf_trainer import NerfTrainer, scene_aabb
+from synerfgine_tpu.nn.nerf_network import NerfNetwork
+from synerfgine_tpu.core.types import BoundingBox
+from synerfgine_tpu.core.config import NGPNetworkConfig, HashGridConfig, MLPConfig
+
+
+@pytest.fixture(scope="module")
+def setup(lego_dir):
+    ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
+    cfg = NGPNetworkConfig(
+        encoding=HashGridConfig(n_levels=3, n_features_per_level=2,
+                                log2_hashmap_size=10, base_resolution=4,
+                                per_level_scale=2.0),
+        network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+        rgb_network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+    )
+    tr = NerfTrainer(NerfNetwork(cfg), ds, n_rays=64, n_march_steps=32,
+                     batch_size=512, use_grid=False, n_steps_per_ray=16)
+    state = tr.init(jax.random.PRNGKey(0))
+    return tr, state, ds
+
+
+@pytest.mark.parametrize("mode", ["shade", "depth", "normals", "positions",
+                                  "ao", "cost"])
+def test_render_modes_finite(setup, mode):
+    tr, state, ds = setup
+    out = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                          n_steps=16, render_mode=mode)
+    assert out["rgb"].shape == (12, 16, 3)
+    assert np.isfinite(out["rgb"]).all()
+
+
+def test_render_spp_and_dof(setup):
+    tr, state, ds = setup
+    out = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                          n_steps=16, spp=2, aperture_size=0.01, focus_z=1.0)
+    assert np.isfinite(out["rgb"]).all()
+
+
+def test_render_crop_aabb(setup):
+    tr, state, ds = setup
+    crop = BoundingBox(jnp.full(3, 0.45), jnp.full(3, 0.55))
+    full = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                           n_steps=16)
+    cropped = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                              n_steps=16, render_aabb=crop)
+    # cropping can only reduce accumulated opacity
+    assert cropped["alpha"].sum() <= full["alpha"].sum() + 1e-4
