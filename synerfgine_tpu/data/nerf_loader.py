@@ -39,6 +39,7 @@ class NerfDataset:
     offset: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.5, 0.5, 0.5], np.float32))
     distortion: np.ndarray | None = None  # (4,) k1 k2 p1 p2 if present
+    depths: np.ndarray | None = None      # (N, H, W) metric depth, 0 = none
     paths: list = dataclasses.field(default_factory=list)
 
     @property

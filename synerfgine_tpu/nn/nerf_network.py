@@ -34,6 +34,7 @@ class NerfParams(NamedTuple):
     rgb_mlp: list
     envmap: Any = None             # (H, W, 4) trainable environment map
     distortion: Any = None         # (res, res, 2) trainable lens offsets
+    latents: Any = None            # (N_img, n_extra_dims) per-image codes
 
 
 class NerfNetwork:

@@ -89,8 +89,13 @@ class NerfTrainer:
         use_error_map: bool = False,
         train_envmap: bool = False,
         train_distortion: bool = False,
+        n_extra_dims: int = 0,
+        depth_supervision_lambda: float = 0.0,
     ):
         self.network = network
+        if n_extra_dims and network.n_extra_dims != n_extra_dims:
+            raise ValueError(
+                "NerfNetwork must be built with the same n_extra_dims")
         self.n_rays = n_rays
         self.batch_size = batch_size
         self.n_march_steps = n_march_steps
@@ -109,6 +114,8 @@ class NerfTrainer:
         self.use_error_map = use_error_map
         self.train_envmap = train_envmap
         self.train_distortion = train_distortion
+        self.n_extra_dims = n_extra_dims
+        self.depth_supervision_lambda = depth_supervision_lambda
         self.host_step = 0
 
         # Device-resident dataset (uint8 keeps HBM small; gathers decode).
@@ -122,6 +129,8 @@ class NerfTrainer:
         self.focal = jnp.asarray(dataset.focal_length)
         self.pp = jnp.asarray(dataset.principal_point)
         self.data = {"images": self.images, "xforms": self.xforms}
+        if getattr(dataset, "depths", None) is not None:
+            self.data["depths"] = jnp.asarray(dataset.depths)  # (N, H, W)
 
         self._step = jax.jit(self._train_step, donate_argnums=(0,),
                              static_argnums=(1,))
@@ -141,6 +150,11 @@ class NerfTrainer:
             from ..nn.envmap import init_distortion
 
             params = params._replace(distortion=init_distortion())
+        if self.n_extra_dims > 0:
+            # per-image latent codes appended to the dir encoding
+            # (n_extra_learnable_dims; nerf_network.h extra-dims input)
+            params = params._replace(latents=jnp.zeros(
+                (int(self.images.shape[0]), self.n_extra_dims)))
         gstate = self.grid.init()
         if self.use_grid and mark_untrained:
             gstate = self.grid.mark_untrained(
@@ -179,7 +193,9 @@ class NerfTrainer:
         px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
         py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
         texel = images[img_idx, py, px].astype(jnp.float32) / 255.0
-        return img_idx, uv, texel
+        depth = (data["depths"][img_idx, py, px]
+                 if "depths" in data else None)
+        return img_idx, uv, texel, depth
 
     def _rays_for(self, data, img_idx, uv,
                   cam_params: CameraOptParams | None = None,
@@ -199,7 +215,7 @@ class NerfTrainer:
 
     def _sample_rays(self, key, n_rays: int | None = None, data=None):
         data = data if data is not None else self.data
-        img_idx, uv, texel = self._sample_pixels(data, key, n_rays or self.n_rays)
+        img_idx, uv, texel, _ = self._sample_pixels(data, key, n_rays or self.n_rays)
         return self._rays_for(data, img_idx, uv), texel
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
@@ -214,7 +230,8 @@ class NerfTrainer:
         batch_size = batch_size or self.batch_size
         data = data if data is not None else self.data
         k_rays, k_march, k_bg, k_u = jax.random.split(key, 4)
-        img_idx, uv, texel = self._sample_pixels(data, k_rays, n_rays, error_map)
+        img_idx, uv, texel, depth_gt = self._sample_pixels(
+            data, k_rays, n_rays, error_map)
         rays = self._rays_for(data, img_idx, uv)
         R = n_rays
 
@@ -234,7 +251,8 @@ class NerfTrainer:
             return bg0
 
         net_apply = jax.checkpoint(
-            lambda p, x, d, u=None: self.network.forward(p, x, d, grad_u=u)
+            lambda p, x, d, u=None, e=None: self.network.forward(
+                p, x, d, extra=e, grad_u=u)
         )
 
         if self.use_grid:
@@ -248,10 +266,16 @@ class NerfTrainer:
             grad_u = jax.random.uniform(
                 k_u, (self.network.pos_encoding.n_levels, batch_size))
 
+            extra = None
+            if self.n_extra_dims > 0:
+                sample_img = img_idx[comp_in.ray_idx]
+
             def loss_fn(params):
                 bg = background(params)
                 target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:]) * bg
-                out = net_apply(params, xs_unit, comp_in.dirs, grad_u)
+                extra = (params.latents[sample_img]
+                         if self.n_extra_dims > 0 else None)
+                out = net_apply(params, xs_unit, comp_in.dirs, grad_u, extra)
                 dense = scatter_back(out, comp_in, R, K)
                 comp = composite_rays(
                     dense[..., :3], dense[..., 3], samples.dt, samples.t,
@@ -259,7 +283,14 @@ class NerfTrainer:
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
-                return jnp.mean(per_ray), per_ray
+                loss = jnp.mean(per_ray)
+                if self.depth_supervision_lambda > 0 and depth_gt is not None:
+                    # only supervise rays with valid (>0) depth
+                    # (testbed_nerf.cu:1680 target_depth > 0 gate)
+                    mask = depth_gt > 0
+                    dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
+                    loss = loss + self.depth_supervision_lambda * jnp.mean(dl)
+                return loss, per_ray
 
             n_samples = comp_in.n_valid
         else:
@@ -303,7 +334,7 @@ class NerfTrainer:
         batch_size = batch_size or self.batch_size
         data = data if data is not None else self.data
         k_pix, k_march, k_bg = jax.random.split(key, 3)
-        img_idx, uv, texel = self._sample_pixels(data, k_pix, n_rays)
+        img_idx, uv, texel, _depth_gt = self._sample_pixels(data, k_pix, n_rays)
         rays0 = self._rays_for(data, img_idx, uv, cam_params)
         samples = march_rays_grid(
             Ray(jax.lax.stop_gradient(rays0.o), jax.lax.stop_gradient(rays0.d)),
