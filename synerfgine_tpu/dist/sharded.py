@@ -45,11 +45,11 @@ class ShardedNerfTrainer:
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(), P()),
+            in_specs=(P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_rep=False,
         )
-        def sharded_core(state: NerfTrainState, key):
+        def sharded_core(state: NerfTrainState, data, key):
             shard_key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
             loss, grads, n_samples, _aux = trainer.loss_and_grads(
                 state.params,
@@ -57,6 +57,7 @@ class ShardedNerfTrainer:
                 shard_key,
                 n_rays=self._rays_per_shard,
                 batch_size=self._batch_per_shard,
+                data=data,
             )
             loss = jax.lax.pmean(loss, data_axis)
             grads = jax.lax.pmean(grads, data_axis)
@@ -71,10 +72,10 @@ class ShardedNerfTrainer:
             )
 
         @partial(jax.jit, donate_argnums=(0,))
-        def step(state: NerfTrainState):
+        def step(state: NerfTrainState, data):
             key, k_step = jax.random.split(state.key)
             new_state, loss, n_samples = sharded_core(
-                state._replace(key=key), k_step
+                state._replace(key=key), data, k_step
             )
             return new_state._replace(key=key), loss, n_samples
 
@@ -93,6 +94,6 @@ class ShardedNerfTrainer:
             s = tr.host_step
             if s < tr.grid_warmup_steps or s % tr.grid_update_cadence == 0:
                 state = tr._grid_update(state, s < tr.grid_warmup_steps)
-        state, loss, _ = self._step(state)
+        state, loss, _ = self._step(state, tr.data)
         tr.host_step += 1
         return state, loss
