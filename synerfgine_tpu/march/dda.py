@@ -152,3 +152,64 @@ def scatter_back(net_out: jnp.ndarray, compacted: CompactedSamples,
     """(S, C) network outputs -> dense (R, K, C); invalid slots read zeros."""
     padded = jnp.concatenate([net_out, jnp.zeros_like(net_out[:1])], axis=0)
     return padded[compacted.target_slot].reshape(R, K, net_out.shape[-1])
+
+
+def compact_samples_segmented(
+    samples: GridSamples,
+    dirs_warped: jnp.ndarray,   # (R, 3)
+    batch_size: int,
+    seg: int = 8,
+) -> CompactedSamples:
+    """Segment-granular compaction: prefix-sum/scatter run over K/seg
+    segments instead of K samples (8x fewer compaction elements — the
+    TPU analogue of the reference's 1-8-steps-between-compactions,
+    testbed_nerf.cu:2337). A segment is kept if ANY of its `seg` fine
+    samples is occupied; partially-valid segments carry their fine mask,
+    so the network batch trades a little occupancy for much cheaper
+    bookkeeping. batch_size must be divisible by seg."""
+    R, K = samples.valid.shape
+    assert K % seg == 0 and batch_size % seg == 0
+    S = K // seg
+    n_slots = batch_size // seg
+
+    seg_valid = samples.valid.reshape(R, S, seg).any(-1)        # (R, S)
+    flat = seg_valid.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    keep = flat & (pos < n_slots)
+    slot = jnp.where(keep, pos, n_slots)
+
+    inv = jnp.zeros((n_slots + 1,), jnp.int32).at[slot].set(
+        jnp.arange(R * S, dtype=jnp.int32), mode="drop"
+    )[:n_slots]                                                  # slot -> seg
+
+    # expand segment slots to fine samples
+    fine_idx = ((inv[:, None] // S) * K + (inv[:, None] % S) * seg
+                + jnp.arange(seg)[None, :]).reshape(-1)          # (batch,)
+
+    xs = samples.xs.reshape(R * K, 3)[fine_idx]
+    dt = samples.dt.reshape(R * K)[fine_idx]
+    t = samples.t.reshape(R * K)[fine_idx]
+    ray_of = fine_idx // K
+    dirs = dirs_warped[ray_of]
+
+    # (R, K) -> flat slot of each fine sample (dump = batch_size)
+    seg_slot_rk = slot.reshape(R, S)                             # (R, S)
+    target = jnp.where(
+        seg_slot_rk[:, :, None] < n_slots,
+        seg_slot_rk[:, :, None] * seg + jnp.arange(seg)[None, None, :],
+        batch_size,
+    ).reshape(R, K)
+    # a kept segment's individually-invalid fine samples must not
+    # contribute: composite masks with `valid` below
+    valid = samples.valid & (target < batch_size)
+    target = jnp.where(samples.valid, target, batch_size).reshape(-1)
+
+    return CompactedSamples(
+        xs=xs, dirs=dirs, dt=dt, t=t,
+        ray_idx=ray_of.astype(jnp.int32),
+        target_slot=target,
+        valid=valid,
+        n_valid=jnp.sum(samples.valid & (seg_valid.reshape(R, S, 1)
+                                         .repeat(seg, 2)
+                                         .reshape(R, K))).astype(jnp.int32),
+    )

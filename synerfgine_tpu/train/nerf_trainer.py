@@ -34,7 +34,12 @@ from ..core.types import BoundingBox, Ray
 from ..data.nerf_loader import NerfDataset
 from ..grid.occupancy import OccupancyGrid, OccupancyGridState
 from ..march.composite import composite_rays
-from ..march.dda import compact_samples, march_rays_grid, scatter_back
+from ..march.dda import (
+    compact_samples,
+    compact_samples_segmented,
+    march_rays_grid,
+    scatter_back,
+)
 from ..march.fixed import sample_fixed_steps
 from ..nn.losses import get_loss
 from ..nn.nerf_network import NerfNetwork, NerfParams
@@ -91,6 +96,7 @@ class NerfTrainer:
         train_distortion: bool = False,
         n_extra_dims: int = 0,
         depth_supervision_lambda: float = 0.0,
+        segment_compaction: bool = True,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -116,6 +122,10 @@ class NerfTrainer:
         self.train_distortion = train_distortion
         self.n_extra_dims = n_extra_dims
         self.depth_supervision_lambda = depth_supervision_lambda
+        # segment-granular compaction: 8x cheaper prefix/scatter at a
+        # small occupancy cost (see march/dda.py)
+        self.segment_compaction = segment_compaction and (
+            self.n_march_steps % 8 == 0 and batch_size % 8 == 0)
         self.host_step = 0
 
         # Device-resident dataset (uint8 keeps HBM small; gathers decode).
@@ -260,7 +270,11 @@ class NerfTrainer:
                 rays, self.aabb, self.grid, bitfield,
                 self.n_march_steps, self.cone_angle, k_march,
             )
-            comp_in = compact_samples(samples, dirs_warped, batch_size)
+            if self.segment_compaction:
+                comp_in = compact_samples_segmented(
+                    samples, dirs_warped, batch_size)
+            else:
+                comp_in = compact_samples(samples, dirs_warped, batch_size)
             K = self.n_march_steps
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(
