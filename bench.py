@@ -89,17 +89,42 @@ def main():
     }))
 
 
+def _probe_device(timeout_s: int = 150) -> bool:
+    """Cheap liveness check in a subprocess (a dead relay hangs forever)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.ones(3).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_with_retries(max_tries: int = 3):
     """The remote TPU worker occasionally crashes under sustained load;
     a fresh process reconnects cleanly, so retry in subprocesses."""
-    import os
     import subprocess
 
     for attempt in range(max_tries):
-        r = subprocess.run(
-            [sys.executable, __file__, "--inner"],
-            capture_output=True, text=True, timeout=2400,
-        )
+        # wait (bounded) for the device to come back before burning an
+        # attempt on a hung init
+        for _ in range(8):
+            if _probe_device():
+                break
+            log("device unreachable; waiting 120 s")
+            time.sleep(120)
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--inner"],
+                capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"bench attempt {attempt+1} timed out; retrying")
+            continue
         sys.stderr.write(r.stderr)
         lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
         if r.returncode == 0 and lines:

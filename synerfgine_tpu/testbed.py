@@ -193,6 +193,15 @@ class Testbed:
         return extract_nerf_mesh(self.trainer.network, params,
                                  resolution=resolution, threshold=threshold)
 
+    def mark_density_grid_in_sphere_empty(self, pos, radius: float):
+        """Carve a sphere out of the occupancy grid (pyngp
+        `mark_density_grid_in_sphere_empty`; used by the hybrid engine to
+        keep the NeRF out of object volumes)."""
+        assert self.mode == "nerf"
+        gstate = self.trainer.grid.mark_sphere_empty(self.state.grid, pos,
+                                                     radius)
+        self.state = self.state._replace(grid=gstate)
+
     # ------------------------------------------------------------- metrics
     def compute_image_mse(self) -> float:
         assert self.mode == "image"
