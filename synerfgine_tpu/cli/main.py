@@ -63,19 +63,17 @@ def cmd_train(args):
 
     t0 = time.time()
     log_every = max(1, args.n_steps // 20)
-    for i in range(args.n_steps):
-        state, loss = trainer.step(state)
-        if (i + 1) % log_every == 0:
-            print(
-                f"iteration={trainer.host_step} loss={float(loss):.6f} "
-                f"({(time.time()-t0)/(i+1)*1000:.1f} ms/step)"
-            )
-    print(f"trained {args.n_steps} steps in {time.time()-t0:.1f}s")
+    state, _ = trainer.train(state, args.n_steps, log_every=log_every)
+    print(f"trained {args.n_steps} steps in {time.time()-t0:.1f}s "
+          f"(total step {trainer.host_step})")
 
     if args.save_snapshot:
+        # save RAW params (+ optimizer state incl. the EMA copy) so
+        # training resumes exactly; renderers use the EMA params from the
+        # optimizer state
         save_snapshot(
             args.save_snapshot,
-            trainer.inference_params(state),
+            state.params,
             state.opt_state,
             state.grid,
             step=trainer.host_step,
@@ -100,7 +98,7 @@ def cmd_eval(args):
     snap = load_snapshot(args.load_snapshot)
     state = restore_train_state(trainer, snap)
     report = evaluate_views(
-        trainer, state.params, test_ds,
+        trainer, trainer.inference_params(state), test_ds,
         grid_state=state.grid if not args.no_grid else None,
         n_views=args.n_views, write_dir=args.out,
     )
@@ -130,10 +128,11 @@ def cmd_render(args):
 
         cp = CameraPath.load(args.camera_path)
         n = args.n_frames
+        params = trainer.inference_params(state)
         for i in range(n):
             kf = cp.eval(i / max(n - 1, 1))
             out = trainer.render_image(
-                state.params, kf.to_matrix(),
+                params, kf.to_matrix(),
                 width=args.width, height=args.height,
                 grid_state=state.grid if not args.no_grid else None,
             )
@@ -141,9 +140,10 @@ def cmd_render(args):
         print(f"wrote {n} camera-path frames to {out_dir}")
         return
     n = args.n_views or ds.n_images
+    params = trainer.inference_params(state)
     for i in range(min(n, ds.n_images)):
         out = trainer.render_image(
-            state.params, ds.xforms[i],
+            params, ds.xforms[i],
             width=args.width, height=args.height,
             grid_state=state.grid if not args.no_grid else None,
         )
