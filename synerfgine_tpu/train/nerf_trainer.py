@@ -653,5 +653,16 @@ class NerfTrainer:
         depth = np.concatenate(depths)[:n_px].reshape(h, w)
         return {"rgb": rgb, "alpha": alpha, "depth": depth}
 
+    def autofocus(self, params: NerfParams, camera_matrix,
+                  grid_state: OccupancyGridState | None = None) -> float:
+        """Depth at the screen center -> DOF focus distance
+        (testbed.cu:4733 autofocus behavior)."""
+        out = self.render_image(params, camera_matrix, width=8, height=8,
+                                grid_state=grid_state, n_steps=256,
+                                chunk=64)
+        d = out["depth"][3:5, 3:5]
+        d = d[np.isfinite(d) & (d > 0)]
+        return float(d.mean()) if d.size else 1.0
+
     def inference_params(self, state: NerfTrainState) -> NerfParams:
         return self.opt.inference_params(state.opt_state)
