@@ -15,7 +15,7 @@ values in [0, 1].
 from __future__ import annotations
 
 import numpy as np
-from scipy.ndimage import convolve1d, maximum_filter
+from scipy.ndimage import convolve1d
 
 
 def _srgb_to_linear(c):

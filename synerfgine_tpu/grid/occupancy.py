@@ -27,7 +27,6 @@ mean over cascade 0) follow the reference exactly.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

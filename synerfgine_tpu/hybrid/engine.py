@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import camera as cam
-from ..core.constants import RENDER_MIN_TRANSMITTANCE, TESTBED_SEED, PT_SEED
+from ..core.constants import RENDER_MIN_TRANSMITTANCE, PT_SEED
 from ..core.types import Ray
 from ..grid.occupancy import OccupancyGrid, OccupancyGridState
 from ..march.composite import composite_rays

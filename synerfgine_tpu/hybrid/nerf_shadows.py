@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Ray
-from .raytracer import MAX_DEPTH, RayTracer
+from .raytracer import RayTracer
 
 
 def positions_from_depth(o: jnp.ndarray, d: jnp.ndarray,

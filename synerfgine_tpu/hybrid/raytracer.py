@@ -23,7 +23,6 @@ sample counts with (R, T)-batched intersection tests.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

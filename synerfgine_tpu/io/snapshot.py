@@ -10,8 +10,6 @@ SNAPSHOT_FORMAT_VERSION (testbed.cu:4880).
 """
 from __future__ import annotations
 
-import dataclasses
-import json
 import zlib
 from typing import Any
 

@@ -25,7 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.constants import NERF_GRIDSIZE, STEPSIZE
+from ..core.constants import STEPSIZE
 from ..core.types import BoundingBox, Ray
 from ..grid.occupancy import OccupancyGrid, mip_from_pos
 

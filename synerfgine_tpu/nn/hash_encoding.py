@@ -10,11 +10,13 @@ TPU design notes
 ----------------
 - One packed fp32 parameter table `(total_params, F)`; per-level offsets are
   static Python ints so XLA sees fixed slices.
-- Forward is a static 8-way unrolled loop over levels of
-  gather -> weighted-sum; XLA fuses the interpolation arithmetic into the
-  gather consumer. Backward is the autodiff transpose: a deterministic
-  XLA scatter-add into the table (there are no atomics on TPU; XLA's
-  scatter-add is deterministic, unlike the reference's atomicAdd race).
+- Forward: ONE fused gather over all levels' corner indices (measured ~2x
+  faster than per-level gathers on TPU); the interpolation arithmetic
+  fuses into the gather consumer.
+- Backward (rendering/eval paths): the autodiff transpose — a
+  deterministic XLA scatter-add (no atomics on TPU; no atomicAdd races).
+- Backward (training hot path): `stochastic_encode`'s custom VJP below —
+  unbiased single-corner importance sampling with <=4 MB scatter chunks.
 - `level_mask` implements tcnn's `set_max_level` semantics (coarse-to-fine
   masking) as a multiplicative mask, which keeps shapes static.
 """
@@ -22,7 +24,6 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -109,12 +109,9 @@ class NGPOptimizer:
         return new_params, new_state
 
     def inference_params(self, state: NGPOptState, params=None):
-        """Debiased EMA parameters for rendering."""
-        t = state.adam.step.astype(jnp.float32)
-        corr = 1.0 - self.cfg.ema_decay**t
-        corr = jnp.where(corr <= 0, 1.0, corr)
-        # ema was seeded with the init params, so it is already "full";
-        # use raw ema (seeding with params avoids the cold-start bias).
+        """EMA parameters for rendering. The EMA is seeded with the init
+        params, so no debias correction is needed (seeding avoids the
+        cold-start bias a zero-seeded EMA would have)."""
         return state.ema_params
 
 

@@ -10,7 +10,6 @@ stack and the loss — all in one jitted train step.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
