@@ -33,13 +33,21 @@ def _build_trainer(args, dataset):
         cfg = NGPNetworkConfig.from_json(args.config)
     else:
         cfg = NGPNetworkConfig()
-    net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale)
+    net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale,
+                      n_extra_dims=getattr(args, "n_extra_dims", 0))
     trainer = NerfTrainer(
         net,
         dataset,
         n_rays=args.n_rays,
         batch_size=args.batch_size,
         use_grid=not args.no_grid,
+        optimize_extrinsics=getattr(args, "optimize_extrinsics", False),
+        optimize_exposure=getattr(args, "optimize_exposure", False),
+        use_error_map=getattr(args, "error_map", False),
+        train_envmap=getattr(args, "train_envmap", False),
+        train_distortion=getattr(args, "train_distortion", False),
+        n_extra_dims=getattr(args, "n_extra_dims", 0),
+        depth_supervision_lambda=getattr(args, "depth_lambda", 0.0),
     )
     return trainer
 
@@ -245,6 +253,17 @@ def main(argv=None):
     sp.add_argument("--save-snapshot", default=None)
     sp.add_argument("--load-snapshot", default=None)
     sp.add_argument("--snapshot-optimizer", action="store_true")
+    sp.add_argument("--optimize-extrinsics", action="store_true",
+                    help="per-image pose refinement")
+    sp.add_argument("--optimize-exposure", action="store_true")
+    sp.add_argument("--error-map", action="store_true",
+                    help="error-map importance sampling of pixels")
+    sp.add_argument("--train-envmap", action="store_true")
+    sp.add_argument("--train-distortion", action="store_true")
+    sp.add_argument("--n-extra-dims", type=int, default=0,
+                    help="per-image latent code size")
+    sp.add_argument("--depth-lambda", type=float, default=0.0,
+                    help="depth-supervision weight")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")

@@ -370,7 +370,9 @@ class NerfTrainer:
             xs = o_s + d_s * comp_in.t[:, None]
             xs_unit = jnp.clip(self.aabb.relative_pos(xs), 0.0, 1.0)
             dirs = (d_s + 1.0) * 0.5
-            out = self.network.forward(params, xs_unit, dirs)
+            extra = (params.latents[img_idx[comp_in.ray_idx]]
+                     if self.n_extra_dims > 0 else None)
+            out = self.network.forward(params, xs_unit, dirs, extra=extra)
             dense = scatter_back(out, comp_in, R, K)
             comp = composite_rays(
                 dense[..., :3], dense[..., 3], samples.dt, samples.t,
