@@ -193,6 +193,48 @@ class Testbed:
         return extract_nerf_mesh(self.trainer.network, params,
                                  resolution=resolution, threshold=threshold)
 
+    def reload_network_from_file(self, config_path: str):
+        """Swap the network config and reinitialize (pyngp
+        `reload_network_from_file`). Training state is reset."""
+        self._config_src = config_path
+        if self.mode == "nerf" and self.dataset is not None:
+            import jax
+
+            from .nn.nerf_network import NerfNetwork
+            from .train.nerf_trainer import NerfTrainer
+
+            cfg = self._network_config(self.dataset.aabb_scale)
+            net = NerfNetwork(cfg, aabb_scale=self.dataset.aabb_scale)
+            self.trainer = NerfTrainer(net, self.dataset)
+            self.state = self.trainer.init(jax.random.PRNGKey(self.seed))
+
+    def screenshot(self, path: str, width: int = 640, height: int = 360,
+                   camera=None, **kw):
+        """Render and save a PNG (run.py screenshot flow)."""
+        from .io.image import write_image
+
+        img = self.render(width, height, camera=camera, **kw)
+        write_image(path, img)
+        return img
+
+    @property
+    def n_params(self) -> int:
+        if self.trainer is None:
+            return 0
+        import jax
+
+        return int(sum(x.size for x in jax.tree.leaves(self.state.params)))
+
+    def compute_and_save_marching_cubes_mesh(self, path: str,
+                                             resolution: int = 128,
+                                             threshold: float = 2.5):
+        from .geometry.marching import save_mesh_obj
+
+        verts, faces, colors = self.compute_marching_cubes_mesh(resolution,
+                                                                threshold)
+        save_mesh_obj(path, verts, faces, colors)
+        return len(verts)
+
     def mark_density_grid_in_sphere_empty(self, pos, radius: float):
         """Carve a sphere out of the occupancy grid (pyngp
         `mark_density_grid_in_sphere_empty`; used by the hybrid engine to

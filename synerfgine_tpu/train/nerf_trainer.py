@@ -96,6 +96,7 @@ class NerfTrainer:
         n_extra_dims: int = 0,
         depth_supervision_lambda: float = 0.0,
         segment_compaction: bool = True,
+        linear_colors: bool = False,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -121,6 +122,9 @@ class NerfTrainer:
         self.train_distortion = train_distortion
         self.n_extra_dims = n_extra_dims
         self.depth_supervision_lambda = depth_supervision_lambda
+        # train_in_linear_colors (testbed_nerf.cu:1125-1131): compare the
+        # composite in linear space; LDR targets are linearized per batch
+        self.linear_colors = linear_colors
         # segment-granular compaction: 8x cheaper prefix/scatter at a
         # small occupancy cost (see march/dda.py)
         self.segment_compaction = segment_compaction and (
@@ -202,6 +206,11 @@ class NerfTrainer:
         px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
         py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
         texel = images[img_idx, py, px].astype(jnp.float32) / 255.0
+        if self.linear_colors:
+            from ..io.image import srgb_to_linear
+
+            texel = jnp.concatenate(
+                [srgb_to_linear(texel[:, :3]), texel[:, 3:]], axis=-1)
         depth = (data["depths"][img_idx, py, px]
                  if "depths" in data else None)
         return img_idx, uv, texel, depth
