@@ -48,6 +48,7 @@ def _build_trainer(args, dataset):
         train_distortion=getattr(args, "train_distortion", False),
         n_extra_dims=getattr(args, "n_extra_dims", 0),
         depth_supervision_lambda=getattr(args, "depth_lambda", 0.0),
+        scan_block_steps=getattr(args, "scan_block", None),
     )
     return trainer
 
@@ -246,6 +247,8 @@ def main(argv=None):
         sp.add_argument("--no-grid", action="store_true")
         sp.add_argument("--test-every", type=int, default=8)
         sp.add_argument("--seed", type=int, default=1337)
+        sp.add_argument("--scan-block", type=int, default=None,
+                        help="train steps fused per device dispatch")
 
     sp = sub.add_parser("train")
     common(sp)

@@ -97,6 +97,7 @@ class NerfTrainer:
         depth_supervision_lambda: float = 0.0,
         segment_compaction: bool = True,
         linear_colors: bool = False,
+        scan_block_steps: int | None = None,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -125,6 +126,11 @@ class NerfTrainer:
         # train_in_linear_colors (testbed_nerf.cu:1125-1131): compare the
         # composite in linear space; LDR targets are linearized per batch
         self.linear_colors = linear_colors
+        # steps fused per device dispatch; defaults to the grid cadence.
+        # Shorter blocks keep single executions under the remote relay's
+        # sustained-execution tolerance.
+        self.scan_block_steps = min(scan_block_steps or grid_update_cadence,
+                                    grid_update_cadence)
         # segment-granular compaction: 8x cheaper prefix/scatter at a
         # small occupancy cost (see march/dda.py)
         self.segment_compaction = segment_compaction and (
@@ -489,13 +495,16 @@ class NerfTrainer:
         while done < n_steps:
             warmup = self.use_grid and self.host_step < self.grid_warmup_steps
             if warmup:
-                n = min(self.grid_warmup_steps - self.host_step, n_steps - done)
+                n = min(self.grid_warmup_steps - self.host_step,
+                        self.scan_block_steps, n_steps - done)
                 if self.host_step == 0:
                     state = self._grid_update(state, True)
             else:
-                n = min(self.grid_update_cadence, n_steps - done)
-                if self.use_grid:
+                cadence_left = (self.grid_update_cadence
+                                - self.host_step % self.grid_update_cadence)
+                if self.use_grid and cadence_left == self.grid_update_cadence:
                     state = self._grid_update(state, False)
+                n = min(self.scan_block_steps, cadence_left, n_steps - done)
             state, ls, n_samples = self._scan_steps(state, self.data, n,
                                                     warmup, cur_rays)
             # host-sync once per block: the remote-TPU relay treats
