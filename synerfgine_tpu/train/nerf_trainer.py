@@ -650,7 +650,14 @@ class NerfTrainer:
                             jnp.abs(jnp.sum(n_vec * rays.d, -1))[:, None], (R, 3)
                         ) * comp.opacity[:, None]
                 else:
-                    rgb = comp.rgb + comp.transmittance[:, None] * bg
+                    if self.train_envmap and p.envmap is not None:
+                        from ..nn.envmap import envmap_background
+
+                        bg_r = envmap_background(
+                            p.envmap, rays.d, jnp.broadcast_to(bg, (R, 3)))
+                    else:
+                        bg_r = bg
+                    rgb = comp.rgb + comp.transmittance[:, None] * bg_r
                 res = (rgb, comp.opacity, comp.depth)
                 acc = res if acc is None else tuple(a + b for a, b in zip(acc, res))
             return tuple(a / spp for a in acc)
