@@ -480,7 +480,7 @@ class NerfTrainer:
         return state, loss
 
     def train(self, state: NerfTrainState, n_steps: int, log_every: int = 0,
-              log_fn=print, adaptive_rays: bool = True):
+              log_fn=print, adaptive_rays: bool = True, metrics=None):
         """Fast path: batches `grid_update_cadence` steps per dispatch.
         During grid warmup (host_step < grid_warmup_steps) the grid update
         is fused into every scanned step, matching the reference cadence
@@ -524,6 +524,14 @@ class NerfTrainer:
                     # cap so the dense (R, K) march tensors stay bounded
                     # (~(R*K*21 B); 2^16 rays x 1024 steps ~ 1.4 GB)
                     cur_rays = int(np.clip(bucket, 1024, 1 << 16))
+            if metrics is not None:
+                import time as _time
+
+                measured = float(jnp.mean(n_samples))
+                metrics.log(self.host_step, loss=last_loss,
+                            rays_per_batch=cur_rays,
+                            measured_samples=measured,
+                            samples_per_ray=measured / max(cur_rays, 1))
             if log_every and (done // log_every) != ((done - n) // log_every):
                 losses.append(last_loss)
                 log_fn(f"step {self.host_step}: loss {last_loss:.6f} "
