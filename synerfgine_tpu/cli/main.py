@@ -69,9 +69,26 @@ def cmd_train(args):
     else:
         state = trainer.init(jax.random.PRNGKey(args.seed))
 
+    def save(path):
+        save_snapshot(
+            path, state.params, state.opt_state, state.grid,
+            step=trainer.host_step,
+            dataset_meta={"scene": str(args.scene), "n_images": ds.n_images,
+                          "aabb_scale": ds.aabb_scale},
+            include_optimizer=args.snapshot_optimizer,
+        )
+
     t0 = time.time()
     log_every = max(1, args.n_steps // 20)
-    state, _ = trainer.train(state, args.n_steps, log_every=log_every)
+    done = 0
+    save_every = args.save_every or args.n_steps
+    while done < args.n_steps:
+        n = min(save_every, args.n_steps - done)
+        state, _ = trainer.train(state, n, log_every=log_every)
+        done += n
+        if args.save_snapshot and done < args.n_steps:
+            save(args.save_snapshot)
+            print(f"checkpointed at step {trainer.host_step}")
     print(f"trained {args.n_steps} steps in {time.time()-t0:.1f}s "
           f"(total step {trainer.host_step})")
 
@@ -79,16 +96,7 @@ def cmd_train(args):
         # save RAW params (+ optimizer state incl. the EMA copy) so
         # training resumes exactly; renderers use the EMA params from the
         # optimizer state
-        save_snapshot(
-            args.save_snapshot,
-            state.params,
-            state.opt_state,
-            state.grid,
-            step=trainer.host_step,
-            dataset_meta={"scene": str(args.scene), "n_images": ds.n_images,
-                          "aabb_scale": ds.aabb_scale},
-            include_optimizer=args.snapshot_optimizer,
-        )
+        save(args.save_snapshot)
         print(f"saved snapshot to {args.save_snapshot}")
     return state, trainer
 
@@ -256,6 +264,8 @@ def main(argv=None):
     sp.add_argument("--save-snapshot", default=None)
     sp.add_argument("--load-snapshot", default=None)
     sp.add_argument("--snapshot-optimizer", action="store_true")
+    sp.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint cadence in steps (0 = only at end)")
     sp.add_argument("--optimize-extrinsics", action="store_true",
                     help="per-image pose refinement")
     sp.add_argument("--optimize-exposure", action="store_true")
