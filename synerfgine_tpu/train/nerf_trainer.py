@@ -294,7 +294,6 @@ class NerfTrainer:
             grad_u = jax.random.uniform(
                 k_u, (self.network.pos_encoding.n_levels, batch_size))
 
-            extra = None
             if self.n_extra_dims > 0:
                 sample_img = img_idx[comp_in.ray_idx]
 
@@ -329,10 +328,14 @@ class NerfTrainer:
             def loss_fn(params):
                 bg = background(params)
                 target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:]) * bg
+                extra = (jnp.repeat(params.latents[img_idx], K, axis=0)
+                         if self.n_extra_dims > 0 else None)
                 out = net_apply(
                     params,
                     xs_unit.reshape(R * K, 3),
                     jnp.repeat(dirs_warped, K, axis=0),
+                    None,
+                    extra,
                 ).reshape(R, K, 4)
                 comp = composite_rays(
                     out[..., :3], out[..., 3], samples.dt, samples.t,
@@ -340,7 +343,12 @@ class NerfTrainer:
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
-                return jnp.mean(per_ray), per_ray
+                loss = jnp.mean(per_ray)
+                if self.depth_supervision_lambda > 0 and depth_gt is not None:
+                    mask = depth_gt > 0
+                    dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
+                    loss = loss + self.depth_supervision_lambda * jnp.mean(dl)
+                return loss, per_ray
 
             n_samples = jnp.sum(samples.valid)
 
