@@ -182,23 +182,33 @@ class Engine:
         }
 
     # ------------------------------------------------------ synthetic pass
-    def render_synthetic(self, cm, zoom):
+    def render_synthetic(self, cm, zoom, chunk: int = 1 << 16):
+        """Path-trace the synthetic layer, chunked over pixels so large
+        frames bound the (rays x triangles) intersection tensors."""
         w, h = self.syn_res
         uv = np.stack(np.meshgrid(
             (np.arange(w, dtype=np.float32) + 0.5) / w,
             (np.arange(h, dtype=np.float32) + 0.5) / h), -1).reshape(-1, 2)
         focal = self._focal(self.syn_res, zoom)
-        rays = cam.uv_to_ray(jnp.asarray(uv), jnp.asarray(cm), (w, h),
-                             jnp.asarray(focal))
-        d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
-        self.key, k = jax.random.split(self.key)
-        res = self.tracer.trace(Ray(rays.o, d_norm), self.world,
-                                self.grid_state.bitfield, k)
-        view = self.tracer.buffer_view(res, self.scene.settings.syn_filter)
+        n = uv.shape[0]
+        pad = (-n) % chunk
+        uv_p = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
+        views, depths, hits = [], [], []
+        for i in range(0, len(uv_p), chunk):
+            rays = cam.uv_to_ray(jnp.asarray(uv_p[i:i + chunk]),
+                                 jnp.asarray(cm), (w, h), jnp.asarray(focal))
+            d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
+            self.key, k = jax.random.split(self.key)
+            res = self.tracer.trace(Ray(rays.o, d_norm), self.world,
+                                    self.grid_state.bitfield, k)
+            views.append(self.tracer.buffer_view(
+                res, self.scene.settings.syn_filter))
+            depths.append(res.depth)
+            hits.append(res.hit)
         return {
-            "rgb": view.reshape(h, w, 3),
-            "depth": res.depth.reshape(h, w),
-            "hit": res.hit.reshape(h, w),
+            "rgb": jnp.concatenate(views)[:n].reshape(h, w, 3),
+            "depth": jnp.concatenate(depths)[:n].reshape(h, w),
+            "hit": jnp.concatenate(hits)[:n].reshape(h, w),
         }
 
     # ------------------------------------------------------------ overlay
