@@ -91,15 +91,17 @@ def load_nerf_dataset(
     if max_images:
         frames = frames[:max_images]
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
-    images, xforms, paths = [], [], []
     scale = float(meta.get("scale", NERF_SCALE))
     offset = np.asarray(meta.get("offset", [0.5, 0.5, 0.5]), np.float32)
-    for fr in frames:
+
+    def load_one(fr):
         p = _resolve_image_path(base, fr["file_path"])
         if p is None:
-            continue
+            return None
         img = Image.open(p)
         if downscale > 1:
             img = img.resize((img.width // downscale, img.height // downscale),
@@ -109,10 +111,17 @@ def load_nerf_dataset(
             arr = np.stack([arr] * 3, -1)
         if arr.shape[-1] == 3:
             arr = np.concatenate([arr, np.full_like(arr[..., :1], 255)], -1)
-        images.append(arr.astype(np.uint8))
         m = np.asarray(fr["transform_matrix"], np.float32)
-        xforms.append(nerf_matrix_to_ngp(m, scale, offset))
-        paths.append(str(p))
+        return (arr.astype(np.uint8), nerf_matrix_to_ngp(m, scale, offset),
+                str(p))
+
+    # parallel decode (the reference loads images on a thread pool too,
+    # N25 thread_pool.cpp / nerf_loader.cu async loading)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = [r for r in ex.map(load_one, frames) if r is not None]
+    images = [r[0] for r in results]
+    xforms = [r[1] for r in results]
+    paths = [r[2] for r in results]
 
     images = np.stack(images)
     h, w = images.shape[1:3]
