@@ -108,6 +108,7 @@ class NGPNetworkConfig:
     )
     n_density_outputs: int = 16
     n_extra_dims: int = 0  # per-image latents appended to dir encoding
+    encoding_raw: dict | None = None  # non-hash encoding block, verbatim
 
     @staticmethod
     def from_json(cfg: dict | str | pathlib.Path) -> "NGPNetworkConfig":
@@ -119,6 +120,9 @@ class NGPNetworkConfig:
         if "optimizer" in cfg:
             out.optimizer = _parse_optimizer(cfg["optimizer"])
         enc = cfg.get("encoding", {})
+        if enc.get("otype", "HashGrid").lower() not in (
+                "hashgrid", "densegrid", "grid", "tiledgrid"):
+            out.encoding_raw = dict(enc)
         out.encoding = HashGridConfig(
             n_levels=enc.get("n_levels", 8),
             n_features_per_level=enc.get("n_features_per_level", 4),

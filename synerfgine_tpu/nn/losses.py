@@ -41,6 +41,12 @@ def smape(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-2) -> jnp.ndar
     return jnp.abs(pred - target) / (jnp.abs(p) + jnp.abs(target) + eps)
 
 
+def mape(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-2) -> jnp.ndarray:
+    """MAPE with detached denominator (tcnn Mape; configs/sdf/base.json)."""
+    p = jax.lax.stop_gradient(pred)
+    return jnp.abs(pred - target) / (jnp.abs(p) + eps)
+
+
 def log_l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(1.0 + jnp.abs(pred - target))
 
@@ -51,6 +57,7 @@ LOSSES = {
     "huber": huber,
     "relativel2": relative_l2,
     "smape": smape,
+    "mape": mape,
     "logl1": log_l1,
 }
 

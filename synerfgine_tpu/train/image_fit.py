@@ -55,16 +55,24 @@ class ImageModel:
     def __init__(self, config: NGPNetworkConfig | None = None, n_channels: int = 3,
                  image_resolution: int = 1024):
         cfg = config or NGPNetworkConfig()
-        enc = cfg.encoding
-        self.encoding = HashEncoding(
-            n_levels=enc.n_levels,
-            n_features_per_level=enc.n_features_per_level,
-            log2_hashmap_size=enc.log2_hashmap_size,
-            base_resolution=enc.base_resolution,
-            # finest level resolves the image itself
-            per_level_scale=enc.resolve_per_level_scale(1, desired_resolution=image_resolution),
-            n_dims=2,
-        )
+        if getattr(cfg, "encoding_raw", None):
+            from ..nn.encodings import create_encoding
+
+            self.encoding = create_encoding(
+                cfg.encoding_raw, n_dims=2,
+                desired_resolution=image_resolution)
+        else:
+            enc = cfg.encoding
+            self.encoding = HashEncoding(
+                n_levels=enc.n_levels,
+                n_features_per_level=enc.n_features_per_level,
+                log2_hashmap_size=enc.log2_hashmap_size,
+                base_resolution=enc.base_resolution,
+                # finest level resolves the image itself
+                per_level_scale=enc.resolve_per_level_scale(
+                    1, desired_resolution=image_resolution),
+                n_dims=2,
+            )
         self.mlp = MLP(
             n_input=self.encoding.n_output_dims,
             n_output=n_channels,
