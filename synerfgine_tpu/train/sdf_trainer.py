@@ -145,7 +145,7 @@ class SdfTrainer:
 
     def __init__(self, model: SdfModel, triangles: np.ndarray,
                  batch_size: int = 1 << 14, surface_fraction: float = 0.5,
-                 perturb_std: float = 0.02):
+                 perturb_std: float = 0.02, use_takikawa: bool = False):
         self.model = model
         tris = np.asarray(triangles, np.float32)
         # normalize mesh into [0.25, 0.75]^3 (reference centers meshes in
@@ -156,6 +156,15 @@ class SdfTrainer:
         self.mesh_offset = 0.5 - (lo + hi) * 0.5 * scale
         self.mesh_scale = scale
         self.tris = jnp.asarray(tris * scale + self.mesh_offset)
+        if use_takikawa:
+            # configs/sdf/takikawa.json path: surface-octree features
+            from ..nn.mlp import MLP
+            from ..nn.takikawa import TakikawaEncoding
+
+            model.encoding = TakikawaEncoding(np.asarray(self.tris))
+            model.mlp = MLP(model.encoding.n_output_dims, 1,
+                            n_neurons=model.config.network.n_neurons,
+                            n_hidden_layers=model.config.network.n_hidden_layers)
         areas = np.linalg.norm(
             np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]), axis=-1)
         self.tri_cdf = jnp.asarray(np.cumsum(areas) / areas.sum())

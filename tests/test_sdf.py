@@ -82,3 +82,16 @@ def test_sdf_render_smoke():
     assert out["rgb"].shape == (48, 48, 3)
     assert np.isfinite(out["rgb"]).all()
     assert out["hit"].sum() > 50   # the cube is visible
+
+
+def test_sdf_takikawa_training():
+    tris = _cube_tris(0.3, 0.7)
+    model = _tiny_model()
+    tr = SdfTrainer(model, tris, batch_size=2048, use_takikawa=True)
+    state = tr.init(jax.random.PRNGKey(2))
+    losses = []
+    for _ in range(60):
+        state, loss = tr.step(state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
