@@ -44,3 +44,24 @@ def test_save_mesh_obj_roundtrip(tmp_path):
     save_mesh_obj(p, verts, faces, colors=np.ones((len(verts), 3), np.float32) * 0.5)
     tris = load_obj(p)
     assert len(tris) == len(faces)
+
+
+def test_mesh_optimization_moves_to_isosurface():
+    import jax.numpy as jnp
+
+    from synerfgine_tpu.geometry.mesh_opt import optimize_mesh
+
+    # analytic field: radius function; isosurface at r = 0.35
+    def field(p):
+        return 0.35 - jnp.linalg.norm(p - 0.5, axis=-1)
+
+    # start from a slightly wrong sphere mesh (r = 0.30)
+    n = 24
+    f = _sphere_field(n, r=0.30)
+    sp = 1.0 / (n - 1)
+    verts, faces = marching_tetrahedra(f, 0.0, spacing=(sp, sp, sp))
+    r_before = np.abs(np.linalg.norm(verts - 0.5, axis=-1) - 0.35).mean()
+    out = optimize_mesh(field, verts, faces, threshold=0.0, n_steps=200,
+                        lr=2e-3, smooth_lambda=0.05)
+    r_after = np.abs(np.linalg.norm(out - 0.5, axis=-1) - 0.35).mean()
+    assert r_after < r_before * 0.5, (r_before, r_after)
