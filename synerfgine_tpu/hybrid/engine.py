@@ -140,7 +140,7 @@ class Engine:
         valid = samples.valid & (samples.t < t_max[:, None])
         samples = samples._replace(valid=valid)
         dirs_warped = (d_norm + 1.0) * 0.5
-        comp_in = compact_samples(samples, dirs_warped, uv.shape[0] * 48)
+        comp_in = compact_samples(samples, dirs_warped, uv.shape[0] * 256)
         xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
         out = self.network.forward(params, xs_unit, comp_in.dirs)
         dense = scatter_back(out, comp_in, uv.shape[0], samples.t.shape[1])
@@ -157,7 +157,7 @@ class Engine:
             (np.arange(w, dtype=np.float32) + 0.5) / w,
             (np.arange(h, dtype=np.float32) + 0.5) / h), -1).reshape(-1, 2)
         focal = self._focal(self.nerf_res, zoom)
-        chunk = 1 << 14
+        chunk = 1 << 12
         outs = {"rgb": [], "alpha": [], "depth": [], "o": [], "d": []}
         t_max_flat = syn_depth_lowres.reshape(-1)
         n = uv.shape[0]

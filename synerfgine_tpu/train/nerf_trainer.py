@@ -560,7 +560,7 @@ class NerfTrainer:
         n_steps: int | None = None,
         bg_color=(0.0, 0.0, 0.0),
         min_transmittance: float = EVAL_MIN_TRANSMITTANCE,
-        chunk: int = 1 << 13,
+        chunk: int = 1 << 11,
         spp: int = 1,
         aperture_size: float = 0.0,
         focus_z: float = 1.0,
@@ -616,7 +616,12 @@ class NerfTrainer:
                         rays, march_aabb, self.grid, gbits, n_steps,
                         self.cone_angle, k_m if spp > 1 else None,
                     )
-                    comp_in = compact_samples(samples, dirs_warped, chunk * 64)
+                    # generous budget: with a dense early-training grid
+                    # nearly every march step is occupied; an undersized
+                    # budget starves the tail rays of a chunk (renders as
+                    # black bands)
+                    comp_in = compact_samples(samples, dirs_warped,
+                                              chunk * 512)
                     xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
                     out = self.network.forward(p, xs_unit, comp_in.dirs)
                     dense = scatter_back(out, comp_in, R, n_steps)
