@@ -288,8 +288,25 @@ class Engine:
             sh = jnp.where(nerf["depth"] < MAX_DEPTH * 0.5, sh, 1.0)
             sh = box_filter(sh, s.smooth_kernel_size)
             sh = jnp.power(sh, s.nerf_shadow_brightness)
-            nerf = {**nerf, "rgb": nerf["rgb"] * sh[..., None]}
+            nerf = {**nerf, "rgb": nerf["rgb"] * sh[..., None],
+                    "shadow": sh}
         self.timings["nerf_shadow"] = time.time() - t0
+
+        # nerf_filter debug views (ERenderMode subset: Shade default,
+        # ShadowDepth / Depth / Normals probes, engine.cu:218-225)
+        nf = s.nerf_filter.lower()
+        if nf == "shadowdepth" and "shadow" in nerf:
+            nerf = {**nerf,
+                    "rgb": jnp.broadcast_to(nerf["shadow"][..., None],
+                                            nerf["rgb"].shape)}
+        elif nf == "depth":
+            d = jnp.clip(nerf["depth"], 0.0, 4.0) / 4.0
+            nerf = {**nerf, "rgb": jnp.broadcast_to(d[..., None],
+                                                    nerf["rgb"].shape)}
+        elif nf == "normals":
+            pos = positions_from_depth(nerf["o"], nerf["d"], nerf["depth"])
+            nerf = {**nerf,
+                    "rgb": 0.5 * (normals_from_positions(pos) + 1.0)}
 
         rgb, depth = self.overlay(syn, nerf)
 
