@@ -566,6 +566,7 @@ class NerfTrainer:
         focus_z: float = 1.0,
         render_mode: str = "shade",
         render_aabb: BoundingBox | None = None,
+        render_aabb_to_local: jnp.ndarray | None = None,
         seed: int = 0,
     ) -> dict:
         """Render a full frame (sRGB rgb + alpha + depth), chunked over
@@ -577,7 +578,9 @@ class NerfTrainer:
         - render_mode in {shade, depth, normals, positions, ao, cost}
           (ERenderMode subset, common.h:56-68) — normals are derived from
           the density gradient, cost is march samples per ray;
-        - render_aabb crops rendering to a sub-box (crop AABB)."""
+        - render_aabb crops rendering to a sub-box; render_aabb_to_local
+          (3,3) rotates the crop about its center (parity with the
+          reference's render_aabb_to_local)."""
         w = width or self.resolution[0]
         h = height or self.resolution[1]
         use_grid = grid_state is not None
@@ -591,8 +594,22 @@ class NerfTrainer:
             axis=-1,
         ).reshape(-1, 2)
         bg = jnp.asarray(bg_color, jnp.float32)
-        march_aabb = render_aabb if render_aabb is not None else self.aabb
+        # rotated crops can't drive the marcher's slab test; march the
+        # scene box and mask samples against the local-frame crop instead
+        rotated_crop = (render_aabb is not None
+                        and render_aabb_to_local is not None)
+        march_aabb = (render_aabb
+                      if (render_aabb is not None and not rotated_crop)
+                      else self.aabb)
         mode = render_mode.lower()
+
+        def crop_mask(xs):
+            if not rotated_crop:
+                return None
+            center = render_aabb.center
+            local = jnp.einsum("ij,...j->...i", render_aabb_to_local,
+                               xs - center) + center
+            return render_aabb.contains(local)
 
         @jax.jit
         def render_chunk(p, gbits, uv, key):
@@ -616,6 +633,9 @@ class NerfTrainer:
                         rays, march_aabb, self.grid, gbits, n_steps,
                         self.cone_angle, k_m if spp > 1 else None,
                     )
+                    cmask = crop_mask(samples.xs)
+                    if cmask is not None:
+                        samples = samples._replace(valid=samples.valid & cmask)
                     # generous budget: with a dense early-training grid
                     # nearly every march step is occupied; an undersized
                     # budget starves the tail rays of a chunk (renders as
@@ -632,6 +652,9 @@ class NerfTrainer:
                     n_marched = jnp.sum(samples.valid, axis=1)
                 else:
                     samples = sample_fixed_steps(rays, march_aabb, n_steps)
+                    cmask = crop_mask(samples.xs)
+                    if cmask is not None:
+                        samples = samples._replace(valid=samples.valid & cmask)
                     xs_unit = jnp.clip(self.aabb.relative_pos(samples.xs), 0.0, 1.0)
                     out = self.network.forward(
                         p, xs_unit.reshape(R * n_steps, 3),

@@ -52,3 +52,20 @@ def test_render_crop_aabb(setup):
                               n_steps=16, render_aabb=crop)
     # cropping can only reduce accumulated opacity
     assert cropped["alpha"].sum() <= full["alpha"].sum() + 1e-4
+
+
+def test_render_rotated_crop(setup):
+    tr, state, ds = setup
+    import jax.numpy as jnp
+
+    from synerfgine_tpu.core import se3
+
+    crop = BoundingBox(jnp.full(3, 0.4), jnp.full(3, 0.6))
+    rot = se3.axis_angle_to_matrix(jnp.asarray([0.0, 0.7, 0.0]))
+    full = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                           n_steps=16)
+    cropped = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                              n_steps=16, render_aabb=crop,
+                              render_aabb_to_local=rot)
+    assert np.isfinite(cropped["rgb"]).all()
+    assert cropped["alpha"].sum() <= full["alpha"].sum() + 1e-4
