@@ -49,6 +49,7 @@ def _build_trainer(args, dataset):
         n_extra_dims=getattr(args, "n_extra_dims", 0),
         depth_supervision_lambda=getattr(args, "depth_lambda", 0.0),
         scan_block_steps=getattr(args, "scan_block", None),
+        sharpness_weighted=getattr(args, "sharpness_weighted", False),
     )
     return trainer
 
@@ -275,6 +276,8 @@ def main(argv=None):
     sp.add_argument("--train-distortion", action="store_true")
     sp.add_argument("--n-extra-dims", type=int, default=0,
                     help="per-image latent code size")
+    sp.add_argument("--sharpness-weighted", action="store_true",
+                    help="scale per-ray loss by image-sharpness weights")
     sp.add_argument("--depth-lambda", type=float, default=0.0,
                     help="depth-supervision weight")
     sp.set_defaults(fn=cmd_train)

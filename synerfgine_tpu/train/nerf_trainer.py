@@ -98,6 +98,7 @@ class NerfTrainer:
         segment_compaction: bool = True,
         linear_colors: bool = False,
         scan_block_steps: int | None = None,
+        sharpness_weighted: bool = False,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -150,6 +151,15 @@ class NerfTrainer:
         self.data = {"images": self.images, "xforms": self.xforms}
         if getattr(dataset, "depths", None) is not None:
             self.data["depths"] = jnp.asarray(dataset.depths)  # (N, H, W)
+        # sharpness-weighted error (nerf_loader.h sharpness_data): per-ray
+        # loss scaled by the normalized Laplacian sharpness of its pixel's
+        # grid cell, so blurry regions contribute less gradient
+        self.sharpness_weighted = sharpness_weighted
+        if sharpness_weighted:
+            from ..data.sharpness import sharpness_maps, sharpness_weights
+
+            self.data["sharpness"] = jnp.asarray(
+                sharpness_weights(sharpness_maps(np.asarray(dataset.images))))
 
         self._step = jax.jit(self._train_step, donate_argnums=(0,),
                              static_argnums=(1,))
@@ -265,6 +275,18 @@ class NerfTrainer:
             bg0 = jnp.ones((R, 3))
         dirs_warped = (rays.d + 1.0) * 0.5
 
+        w_sharp = None
+        if self.sharpness_weighted and "sharpness" in data:
+            sh = data["sharpness"]                  # (N_img, G, G), mean 1
+            G = sh.shape[1]
+            gx = jnp.minimum((uv[:, 0] * G).astype(jnp.int32), G - 1)
+            gy = jnp.minimum((uv[:, 1] * G).astype(jnp.int32), G - 1)
+            w_sharp = sh[img_idx, gy, gx]
+
+        def ray_mean(per_ray):
+            return (jnp.mean(per_ray * w_sharp) if w_sharp is not None
+                    else jnp.mean(per_ray))
+
         def background(p):
             """Random/fixed bg, with the trainable envmap composited on
             top when enabled (gradients reach p.envmap through here)."""
@@ -310,7 +332,7 @@ class NerfTrainer:
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
-                loss = jnp.mean(per_ray)
+                loss = ray_mean(per_ray)
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     # only supervise rays with valid (>0) depth
                     # (testbed_nerf.cu:1680 target_depth > 0 gate)
@@ -343,7 +365,7 @@ class NerfTrainer:
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
-                loss = jnp.mean(per_ray)
+                loss = ray_mean(per_ray)
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     mask = depth_gt > 0
                     dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
@@ -567,6 +589,7 @@ class NerfTrainer:
         render_mode: str = "shade",
         render_aabb: BoundingBox | None = None,
         render_aabb_to_local: jnp.ndarray | None = None,
+        slice_plane_z: float = 0.0,
         seed: int = 0,
     ) -> dict:
         """Render a full frame (sRGB rgb + alpha + depth), chunked over
@@ -575,9 +598,13 @@ class NerfTrainer:
         Feature parity with the reference renderer (N8/N13):
         - spp > 1 averages jittered sub-pixel + march offsets (and DOF
           aperture samples when aperture_size > 0, testbed.cu DOF path);
-        - render_mode in {shade, depth, normals, positions, ao, cost}
-          (ERenderMode subset, common.h:56-68) — normals are derived from
-          the density gradient, cost is march samples per ray;
+        - render_mode in {shade, depth, normals, positions, ao, cost,
+          slice, encoding_vis, distortion} (ERenderMode, common.h:56-68) —
+          normals are derived from the density gradient, cost is march
+          samples per ray, slice shows density on the camera-space plane
+          at distance `slice_plane_z` from the camera, encoding_vis shows
+          the finest-level hash features at the termination point, and
+          distortion false-colors the trained lens-distortion field;
         - render_aabb crops rendering to a sub-box; render_aabb_to_local
           (3,3) rotates the crop about its center (parity with the
           reference's render_aabb_to_local)."""
@@ -666,7 +693,41 @@ class NerfTrainer:
                     )
                     n_marched = jnp.sum(samples.valid, axis=1)
 
-                if mode == "depth":
+                if mode == "slice":
+                    # density on the view-space plane slice_plane_z in
+                    # front of the camera (ERenderMode::Slice): grayscale
+                    # 1-exp(-sigma*dt) alpha of the plane samples
+                    p_sl = rays.o + rays.d * jnp.float32(slice_plane_z)
+                    inside = march_aabb.contains(p_sl)
+                    xs_sl = jnp.clip(self.aabb.relative_pos(p_sl), 0.0, 1.0)
+                    sigma = self.network.density(p, xs_sl)[:, 0]
+                    a = 1.0 - jnp.exp(-sigma * jnp.float32(
+                        np.sqrt(3.0) / 1024.0))
+                    a = jnp.where(inside, a, 0.0)
+                    rgb = jnp.broadcast_to(a[:, None], (R, 3))
+                elif mode == "encoding_vis":
+                    # hash-encoding activations at the termination point
+                    # (ERenderMode::EncodingVis): finest-level features
+                    # mapped to RGB around mid-gray
+                    term = rays.o + rays.d * comp.depth[:, None]
+                    xs_t = jnp.clip(self.aabb.relative_pos(term), 0.0, 1.0)
+                    enc = self.network.pos_encoding(
+                        p.hash_table, xs_t)             # (R, L*F)
+                    rgb = jnp.clip(0.5 + enc[:, -3:], 0.0, 1.0)
+                    rgb = rgb * comp.opacity[:, None]
+                elif mode == "distortion":
+                    # trained lens-distortion field over the image plane
+                    # (ERenderMode::Distortion): uv displacement -> color
+                    if p.distortion is not None:
+                        from ..nn.envmap import apply_distortion
+
+                        duv = apply_distortion(p.distortion, uv_s) - uv_s
+                    else:
+                        duv = jnp.zeros_like(uv_s)
+                    rgb = jnp.concatenate(
+                        [jnp.clip(0.5 + 100.0 * duv, 0.0, 1.0),
+                         jnp.full((R, 1), 0.5)], axis=-1)
+                elif mode == "depth":
                     rgb = jnp.broadcast_to(comp.depth[:, None], (R, 3))
                 elif mode == "positions":
                     term = rays.o + rays.d * comp.depth[:, None]

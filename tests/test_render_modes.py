@@ -27,7 +27,8 @@ def setup(lego_dir):
 
 
 @pytest.mark.parametrize("mode", ["shade", "depth", "normals", "positions",
-                                  "ao", "cost"])
+                                  "ao", "cost", "slice", "encoding_vis",
+                                  "distortion"])
 def test_render_modes_finite(setup, mode):
     tr, state, ds = setup
     out = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
@@ -69,3 +70,22 @@ def test_render_rotated_crop(setup):
                               render_aabb_to_local=rot)
     assert np.isfinite(cropped["rgb"]).all()
     assert cropped["alpha"].sum() <= full["alpha"].sum() + 1e-4
+
+
+def test_render_slice_plane_moves(setup):
+    tr, state, ds = setup
+    a = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                        n_steps=16, render_mode="slice", slice_plane_z=0.5)
+    b = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                        n_steps=16, render_mode="slice", slice_plane_z=4.0)
+    assert np.isfinite(a["rgb"]).all() and np.isfinite(b["rgb"]).all()
+
+
+def test_render_distortion_vis_nonzero_with_field(setup):
+    tr, state, ds = setup
+    dist = jnp.full((8, 8, 2), 0.002, jnp.float32)
+    p = state.params._replace(distortion=dist)
+    out = tr.render_image(p, ds.xforms[0], width=16, height=12, n_steps=16,
+                          render_mode="distortion")
+    # constant +0.002 uv offset -> r=g=0.5+0.2 everywhere
+    assert np.allclose(out["rgb"][..., :2], 0.7, atol=1e-3)
