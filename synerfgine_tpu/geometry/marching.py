@@ -164,7 +164,8 @@ def extract_nerf_mesh(
     xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
     pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
 
-    dens_fn = jax.jit(lambda p, x: density_activation(network.density(p, x)[:, 0]))
+    dens_fn = jax.jit(lambda p, x: density_activation(
+        network.density(p, x, paired=True)[:, 0]))
     vals = []
     for i in range(0, len(pts), chunk):
         vals.append(np.asarray(dens_fn(params, jnp.asarray(pts[i:i + chunk]))))
@@ -184,7 +185,8 @@ def extract_nerf_mesh(
         vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
         col_fn = jax.jit(
             lambda p, x, d: jax.nn.sigmoid(
-                network.forward(p, x, (d + 1) * 0.5)[:, :3].astype(jnp.float32))
+                network.forward(p, x, (d + 1) * 0.5,
+                                paired=True)[:, :3].astype(jnp.float32))
         )
         cols = []
         for i in range(0, len(verts), chunk):

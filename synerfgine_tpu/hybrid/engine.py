@@ -142,7 +142,7 @@ class Engine:
         dirs_warped = (d_norm + 1.0) * 0.5
         comp_in = compact_samples(samples, dirs_warped, uv.shape[0] * 256)
         xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-        out = self.network.forward(params, xs_unit, comp_in.dirs)
+        out = self.network.forward(params, xs_unit, comp_in.dirs, paired=True)
         dense = scatter_back(out, comp_in, uv.shape[0], samples.t.shape[1])
         comp = composite_rays(
             dense[..., :3], dense[..., 3], samples.dt, samples.t,

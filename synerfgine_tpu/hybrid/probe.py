@@ -49,7 +49,7 @@ class LightProbe:
                                   n_steps, cone_angle)
         comp_in = compact_samples(samples, (d + 1.0) * 0.5, d.shape[0] * 32)
         xs_unit = jnp.clip(aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-        out = network.forward(params, xs_unit, comp_in.dirs)
+        out = network.forward(params, xs_unit, comp_in.dirs, paired=True)
         dense = scatter_back(out, comp_in, d.shape[0], n_steps)
         comp = composite_rays(dense[..., :3], dense[..., 3], samples.dt,
                               samples.t, comp_in.valid,

@@ -31,8 +31,13 @@ import numpy as np
 
 __all__ = ["HashEncoding", "stochastic_encode"]
 
-# tcnn-compatible per-dimension hashing primes (prime[0]=1 keeps the x
-# coordinate contiguous for cache coherence).
+# Per-dimension hashing primes (tcnn's constants). Unlike tcnn, dim 0 is
+# combined ADDITIVELY: h = (x + (y*p1 ^ z*p2 ^ ...)) mod size, so
+# h(x+1) = h(x)+1 (mod size) exactly. That makes the two x-adjacent
+# corners of every interpolation cell adjacent table rows, in hashed and
+# dense levels alike — the invariant behind the aligned-pair gather
+# below. Collision statistics are equivalent (x remains injective per
+# (y,z) offset); only the bit pattern differs from tcnn.
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037)
 
 
@@ -91,6 +96,16 @@ class HashEncoding:
             np.meshgrid(*([np.array([0, 1])] * n_dims), indexing="ij"), axis=-1
         ).reshape(-1, n_dims)
         self._corners = corners.astype(np.int32)
+        # Corner offsets over dims 1..D-1 only (2^(D-1), D-1): the x pair
+        # is handled by the aligned-pair (double-width row) gather.
+        if n_dims > 1:
+            rest = np.stack(
+                np.meshgrid(*([np.array([0, 1])] * (n_dims - 1)),
+                            indexing="ij"), axis=-1
+            ).reshape(-1, n_dims - 1)
+        else:
+            rest = np.zeros((1, 0))
+        self._corners_rest = rest.astype(np.int32)
 
     def grad_scatter_chunks(self) -> list[tuple[int, int]]:
         """(offset, size) ranges for the backward scatter, each <= 2^18
@@ -132,9 +147,10 @@ class HashEncoding:
                 idx = idx + coord[..., d] * stride
                 stride *= res
         else:
-            h = coord[..., 0].astype(jnp.uint32)  # prime[0] == 1
+            h = jnp.zeros(coord.shape[:2], jnp.uint32)
             for d in range(1, self.n_dims):
                 h = h ^ (coord[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
+            h = coord[..., 0].astype(jnp.uint32) + h  # additive in x
             idx = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
 
         # D-linear interpolation weights: prod_d (corner_d ? frac : 1-frac)
@@ -143,6 +159,99 @@ class HashEncoding:
             fd = frac[:, None, d]
             w = w * jnp.where(corners[None, :, d] == 1, fd, 1.0 - fd)
         return idx + self.level_offsets[level], w
+
+    # ------------------------------------------------------ aligned pairs
+    # The dominant train/render cost on TPU is the random 16 B row gather
+    # from HBM (transaction-bound: 32 B rows cost the same as 16 B ones —
+    # see PERF.md). Because the hash is additive in x, the two x-adjacent
+    # corners of every cell are adjacent rows; storing the table as
+    # double-width rows dup[i] = [t[i], t[i+1 (mod level)]] lets one
+    # gather fetch both corners: 4 transactions per (sample, level)
+    # instead of 8.
+
+    def make_paired_table(self, table: jnp.ndarray) -> jnp.ndarray:
+        """(n_params, F) -> (n_params, 2F); row i holds entries i and
+        i+1, wrapped within i's level. Sequential HBM traffic — cheap to
+        rebuild per training dispatch."""
+        parts = []
+        for off, size in zip(self.level_offsets, self.level_sizes):
+            lvl = table[off:off + size]
+            parts.append(
+                jnp.concatenate([lvl, jnp.roll(lvl, -1, axis=0)], axis=1))
+        return jnp.concatenate(parts, axis=0)
+
+    def _level_pair_indices(self, x: jnp.ndarray, level: int):
+        """Pair-row indices for one level: (rows (N, 2^(D-1)) int32 into
+        the packed table, w_rest (N, 2^(D-1)), fx (N,) x-interp weight)."""
+        scale = self.scales[level]
+        res = self.resolutions[level]
+        pos = x * scale + 0.5
+        idx0 = jnp.floor(pos)
+        frac = pos - idx0
+        idx0 = idx0.astype(jnp.int32)
+
+        # base x of the pair; at the high boundary shift the pair down and
+        # saturate fx so the interpolated value equals t[res-1], matching
+        # the clip semantics of the 8-corner path
+        bx = jnp.clip(idx0[:, 0], 0, max(res - 2, 0))
+        fx = jnp.clip(pos[:, 0] - bx.astype(x.dtype), 0.0, 1.0)
+
+        rest = jnp.asarray(self._corners_rest)             # (C2, D-1)
+        coord = idx0[:, None, 1:] + rest[None, :, :]       # (N, C2, D-1)
+        coord = jnp.clip(coord, 0, res - 1)
+
+        if self.level_is_dense[level]:
+            stride = res
+            idx = jnp.zeros(coord.shape[:2], jnp.int32)
+            for d in range(self.n_dims - 1):
+                idx = idx + coord[..., d] * stride
+                stride *= res
+            rows = bx[:, None] + idx
+        else:
+            h = jnp.zeros(coord.shape[:2], jnp.uint32)
+            for d in range(1, self.n_dims):
+                h = h ^ (coord[..., d - 1].astype(jnp.uint32)
+                         * jnp.uint32(_PRIMES[d]))
+            h = bx[:, None].astype(jnp.uint32) + h
+            rows = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
+
+        w = jnp.ones(coord.shape[:2], x.dtype)
+        for d in range(self.n_dims - 1):
+            fd = frac[:, None, d + 1]
+            w = w * jnp.where(rest[None, :, d] == 1, fd, 1.0 - fd)
+        return rows + self.level_offsets[level], w, fx
+
+    def paired_encode(
+        self,
+        paired_table: jnp.ndarray,
+        x: jnp.ndarray,
+        level_mask: jnp.ndarray | None = None,
+        compute_dtype=jnp.float32,
+    ) -> jnp.ndarray:
+        """Forward identical to `__call__` but gathering from
+        `make_paired_table(table)`: half the gather transactions. Use on
+        no-grad paths (render, grid update) and inside the stochastic-VJP
+        forward — autodiff through this would scatter into the
+        double-width table, so gradient paths that need d/dx keep the
+        8-corner form."""
+        L, F = self.n_levels, self.F
+        N = x.shape[0]
+        rows, ws, fxs = [], [], []
+        for l in range(L):
+            r, w, fx = self._level_pair_indices(x, l)
+            rows.append(r)
+            ws.append(w)
+            fxs.append(fx)
+        rows = jnp.stack(rows)                        # (L, N, C2)
+        w = jnp.stack(ws)                             # (L, N, C2)
+        fx = jnp.stack(fxs)                           # (L, N)
+        feats = paired_table[rows.reshape(-1)].reshape(rows.shape + (2 * F,))
+        lo, hi = feats[..., :F], feats[..., F:]
+        pair = lo + fx[..., None, None] * (hi - lo)   # (L, N, C2, F)
+        out = jnp.sum(pair * w[..., None], axis=2)    # (L, N, F)
+        if level_mask is not None:
+            out = out * level_mask[:, None, None]
+        return jnp.moveaxis(out, 0, 1).reshape(N, L * F).astype(compute_dtype)
 
     def all_level_indices(self, x: jnp.ndarray):
         """Stacked (L, N, C) corner indices + interpolation weights."""
@@ -206,11 +315,10 @@ def stochastic_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
 
 
 def _stoch_fwd(enc: HashEncoding, table, x, u):
-    idx, w = enc.all_level_indices(x)            # (L, N, C)
-    feats = table[idx.reshape(-1)].reshape(idx.shape + (enc.F,))
-    out = jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
-    N = x.shape[0]
-    out = jnp.moveaxis(out, 0, 1).reshape(N, enc.n_levels * enc.F)
+    idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
+    # aligned-pair gather: 4 transactions per (sample, level) instead of
+    # 8; the pair-table rebuild is sequential HBM traffic (~2 reads/row)
+    out = enc.paired_encode(enc.make_paired_table(table), x)
     return out, (idx, w, u)
 
 

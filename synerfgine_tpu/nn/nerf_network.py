@@ -79,15 +79,24 @@ class NerfNetwork:
 
     def density(self, params: NerfParams, x: jnp.ndarray,
                 level_mask: jnp.ndarray | None = None,
-                grad_u: jnp.ndarray | None = None) -> jnp.ndarray:
+                grad_u: jnp.ndarray | None = None,
+                paired: bool = False) -> jnp.ndarray:
         """x: (N, 3) in [0,1]^3 (warped). Returns raw density-MLP output (N, 16).
 
         grad_u: optional (n_levels, N) uniforms switching the hash-table
-        backward to the fast stochastic-corner scatter (training path)."""
+        backward to the fast stochastic-corner scatter (training path).
+        paired: use the aligned-pair hash gather (half the HBM
+        transactions) — for no-grad paths only (its autodiff would
+        scatter into the double-width table and drop d/dx)."""
         if grad_u is not None:
             feats = stochastic_encode(
                 self.pos_encoding, params.hash_table, x, grad_u
             ).astype(jnp.bfloat16)
+        elif paired:
+            enc = self.pos_encoding
+            feats = enc.paired_encode(
+                enc.make_paired_table(params.hash_table), x, level_mask,
+                jnp.bfloat16)
         else:
             feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
         return self.density_mlp(params.density_mlp, feats)
@@ -100,13 +109,14 @@ class NerfNetwork:
         extra: jnp.ndarray | None = None,
         level_mask: jnp.ndarray | None = None,
         grad_u: jnp.ndarray | None = None,
+        paired: bool = False,
     ) -> jnp.ndarray:
         """Full forward. Returns (N, 4): raw rgb (3) + raw density (1).
 
         Mirrors `inference_mixed_precision`'s output layout, which appends
         the raw density as channel 4 (nerf_network.h:105-139).
         """
-        h = self.density(params, x, level_mask, grad_u)
+        h = self.density(params, x, level_mask, grad_u, paired)
         sh = sh_encode(dir_warped, self.sh_degree).astype(h.dtype)
         parts = [h, sh]
         if self.n_extra_dims > 0:

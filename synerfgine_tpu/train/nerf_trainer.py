@@ -471,7 +471,8 @@ class NerfTrainer:
     def _grid_update_fn(self, state: NerfTrainState, full_sweep: bool):
         M = self.grid.n_cascades * self.grid.G**3
         key, k_grid = jax.random.split(state.key)
-        density_fn = lambda xs: self.network.density(state.params, xs)[:, 0]
+        density_fn = lambda xs: self.network.density(state.params, xs,
+                                                     paired=True)[:, 0]
         if full_sweep:
             n_uniform, n_nonuniform = M, 0
         else:
@@ -670,7 +671,8 @@ class NerfTrainer:
                     comp_in = compact_samples(samples, dirs_warped,
                                               chunk * 512)
                     xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-                    out = self.network.forward(p, xs_unit, comp_in.dirs)
+                    out = self.network.forward(p, xs_unit, comp_in.dirs,
+                                               paired=True)
                     dense = scatter_back(out, comp_in, R, n_steps)
                     comp = composite_rays(
                         dense[..., :3], dense[..., 3], samples.dt, samples.t,
@@ -686,6 +688,7 @@ class NerfTrainer:
                     out = self.network.forward(
                         p, xs_unit.reshape(R * n_steps, 3),
                         jnp.repeat(dirs_warped, n_steps, axis=0),
+                        paired=True,
                     ).reshape(R, n_steps, 4)
                     comp = composite_rays(
                         out[..., :3], out[..., 3], samples.dt, samples.t,
@@ -700,7 +703,7 @@ class NerfTrainer:
                     p_sl = rays.o + rays.d * jnp.float32(slice_plane_z)
                     inside = march_aabb.contains(p_sl)
                     xs_sl = jnp.clip(self.aabb.relative_pos(p_sl), 0.0, 1.0)
-                    sigma = self.network.density(p, xs_sl)[:, 0]
+                    sigma = self.network.density(p, xs_sl, paired=True)[:, 0]
                     a = 1.0 - jnp.exp(-sigma * jnp.float32(
                         np.sqrt(3.0) / 1024.0))
                     a = jnp.where(inside, a, 0.0)
@@ -743,8 +746,10 @@ class NerfTrainer:
                     for ax in range(3):
                         e = jnp.zeros(3).at[ax].set(eps)
                         g.append(
-                            self.network.density(p, jnp.clip(xs_t + e, 0, 1))[:, 0]
-                            - self.network.density(p, jnp.clip(xs_t - e, 0, 1))[:, 0])
+                            self.network.density(
+                                p, jnp.clip(xs_t + e, 0, 1), paired=True)[:, 0]
+                            - self.network.density(
+                                p, jnp.clip(xs_t - e, 0, 1), paired=True)[:, 0])
                     n_vec = -jnp.stack(g, -1).astype(jnp.float32)
                     n_vec = n_vec / jnp.maximum(
                         jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-9)

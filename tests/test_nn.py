@@ -37,9 +37,12 @@ def _numpy_hash_encode(table, x, enc: HashEncoding):
                     idx += coord[:, d] * stride
                     stride *= res
             else:
-                h = coord[:, 0].astype(np.uint32)
+                # x combined additively (aligned-pair invariant:
+                # h(x+1) = h(x)+1 mod size); other dims XOR'd with primes
+                h = np.zeros(N, np.uint32)
                 for d in range(1, enc.n_dims):
                     h = h ^ (coord[:, d].astype(np.uint32) * np.uint32(_PRIMES[d]))
+                h = coord[:, 0].astype(np.uint32) + h
                 idx = (h % np.uint32(enc.hashmap_size)).astype(np.int64)
             acc += table[idx + enc.level_offsets[l]] * w[:, None]
         out[:, l * enc.F : (l + 1) * enc.F] = acc
@@ -221,3 +224,52 @@ def test_nerf_network_grad_flows():
     assert float(jnp.sum(jnp.abs(g.hash_table))) > 0
     assert all(float(jnp.sum(jnp.abs(w))) > 0 for w in g.density_mlp)
     assert all(float(jnp.sum(jnp.abs(w))) > 0 for w in g.rgb_mlp)
+
+
+# ------------------------------------------------------------ aligned pairs
+def test_paired_encode_matches_plain():
+    """Aligned-pair (4x double-width gather) forward == 8-corner forward,
+    incl. hashed levels and the x=0/x=1 clip boundaries."""
+    enc = HashEncoding(n_levels=6, n_features_per_level=4,
+                       log2_hashmap_size=12, base_resolution=16,
+                       per_level_scale=2.0)
+    assert not all(enc.level_is_dense)  # exercise hashed levels too
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(enc.n_params, enc.F)), jnp.float32)
+    x = rng.uniform(0, 1, size=(512, 3)).astype(np.float32)
+    x[:8] = 0.0
+    x[8:16] = 1.0
+    x[16:24, 0] = 1.0  # x-boundary: the pair-shift + fx saturation path
+    x = jnp.asarray(x)
+    want = enc(table, x)
+    got = enc.paired_encode(enc.make_paired_table(table), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_paired_encode_matches_plain_2d():
+    enc = HashEncoding(n_levels=6, n_features_per_level=2,
+                       log2_hashmap_size=10, base_resolution=8,
+                       per_level_scale=1.5, n_dims=2)
+    rng = np.random.default_rng(8)
+    table = jnp.asarray(rng.normal(size=(enc.n_params, enc.F)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, size=(256, 2)), jnp.float32)
+    want = enc(table, x)
+    got = enc.paired_encode(enc.make_paired_table(table), x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_stochastic_encode_forward_uses_pairs():
+    """stochastic_encode's forward must still equal the exact encode."""
+    from synerfgine_tpu.nn.hash_encoding import stochastic_encode
+
+    enc = HashEncoding(n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=10, base_resolution=8)
+    key = jax.random.PRNGKey(2)
+    table = jax.random.normal(key, (enc.n_params, enc.F))
+    x = jax.random.uniform(key, (64, 3))
+    u = jax.random.uniform(key, (enc.n_levels, 64))
+    np.testing.assert_allclose(
+        np.asarray(stochastic_encode(enc, table, x, u)),
+        np.asarray(enc(table, x)), atol=1e-5, rtol=1e-5)
