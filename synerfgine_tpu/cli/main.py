@@ -34,7 +34,8 @@ def _build_trainer(args, dataset):
     else:
         cfg = NGPNetworkConfig()
     net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale,
-                      n_extra_dims=getattr(args, "n_extra_dims", 0))
+                      n_extra_dims=getattr(args, "n_extra_dims", 0),
+                      use_pallas_mlp=getattr(args, "pallas_mlp", False))
     trainer = NerfTrainer(
         net,
         dataset,
@@ -276,6 +277,8 @@ def main(argv=None):
     sp.add_argument("--train-distortion", action="store_true")
     sp.add_argument("--n-extra-dims", type=int, default=0,
                     help="per-image latent code size")
+    sp.add_argument("--pallas-mlp", action="store_true",
+                    help="use the Pallas fused-MLP kernels (VMEM-resident)")
     sp.add_argument("--sharpness-weighted", action="store_true",
                     help="scale per-ray loss by image-sharpness weights")
     sp.add_argument("--depth-lambda", type=float, default=0.0,

@@ -39,9 +39,13 @@ class NerfParams(NamedTuple):
 
 class NerfNetwork:
     def __init__(self, config: NGPNetworkConfig | None = None, aabb_scale: int = 1,
-                 n_extra_dims: int = 0):
+                 n_extra_dims: int = 0, use_pallas_mlp: bool = False):
         config = config or NGPNetworkConfig()
         self.config = config
+        # route MLPs through the Pallas fused chain (weights+activations
+        # VMEM-resident, FullyFusedMLP-style) instead of the XLA matmul
+        # chain; custom VJP makes it train-capable
+        self.use_pallas_mlp = use_pallas_mlp
         enc = config.encoding
         self.pos_encoding = HashEncoding(
             n_levels=enc.n_levels,
@@ -99,7 +103,14 @@ class NerfNetwork:
                 jnp.bfloat16)
         else:
             feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
-        return self.density_mlp(params.density_mlp, feats)
+        return self._apply_mlp(self.density_mlp, params.density_mlp, feats)
+
+    def _apply_mlp(self, mlp, mlp_params, x):
+        if self.use_pallas_mlp:
+            from .pallas_mlp import fused_mlp_apply
+
+            return fused_mlp_apply(mlp, mlp_params, x)
+        return mlp(mlp_params, x)
 
     def forward(
         self,
@@ -123,7 +134,7 @@ class NerfNetwork:
             assert extra is not None
             parts.append(extra.astype(h.dtype))
         rgb_in = jnp.concatenate(parts, axis=-1)
-        rgb = self.rgb_mlp(params.rgb_mlp, rgb_in)
+        rgb = self._apply_mlp(self.rgb_mlp, params.rgb_mlp, rgb_in)
         return jnp.concatenate([rgb, h[..., :1]], axis=-1)
 
     @property
