@@ -16,8 +16,11 @@ sustained load). Emits one JSON line per variant on stdout.
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 LEGO = "/root/reference/data/nerf/lego"
 

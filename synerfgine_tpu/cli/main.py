@@ -244,6 +244,30 @@ def cmd_fit_image(args):
         write_image(args.out, np.clip(trainer.render(state), 0, 1))
 
 
+def cmd_convert_image(args):
+    from ..io.image import read_image, write_bin_image
+
+    img = read_image(args.input, to_linear=True)
+    out = args.output or (str(pathlib.Path(args.input).with_suffix("")) + ".bin")
+    write_bin_image(out, img)
+    print(f"wrote {out} ({img.shape[1]}x{img.shape[0]})")
+
+
+def cmd_record3d(args):
+    from ..data.record3d import record3d_to_nerf
+
+    out = record3d_to_nerf(args.scene, rotate=args.rotate,
+                           subsample=args.subsample)
+    print(f"wrote {out}")
+
+
+def cmd_mask_images(args):
+    from ..data.masks import mask_images
+
+    n = mask_images(args.images, args.masks)
+    print(f"installed {n} masks")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="synerfgine-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -324,6 +348,26 @@ def main(argv=None):
     sp.add_argument("--n-steps", type=int, default=1000)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_fit_image)
+
+    # dataset tools (scripts/{convert_image,record3d2nerf,mask_images}.py)
+    sp = sub.add_parser("convert-image",
+                        help="image -> fp16 .bin (fast gigapixel loads)")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(fn=cmd_convert_image)
+
+    sp = sub.add_parser("record3d", help="Record3D capture -> transforms.json")
+    sp.add_argument("--scene", required=True)
+    sp.add_argument("--rotate", action="store_true")
+    sp.add_argument("--subsample", type=int, default=1)
+    sp.set_defaults(fn=cmd_record3d)
+
+    sp = sub.add_parser("mask-images",
+                        help="install dynamic_mask_* training masks")
+    sp.add_argument("--images", required=True)
+    sp.add_argument("--masks", required=True,
+                    help="dir of masks with matching stems")
+    sp.set_defaults(fn=cmd_mask_images)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -40,6 +40,7 @@ class NerfDataset:
         default_factory=lambda: np.array([0.5, 0.5, 0.5], np.float32))
     distortion: np.ndarray | None = None  # (4,) k1 k2 p1 p2 if present
     depths: np.ndarray | None = None      # (N, H, W) metric depth, 0 = none
+    masks: np.ndarray | None = None       # (N, H, W) in [0,1], 1 = excluded
     paths: list = dataclasses.field(default_factory=list)
 
     @property
@@ -59,6 +60,8 @@ class NerfDataset:
             self,
             images=self.images[indices],
             xforms=self.xforms[indices],
+            masks=self.masks[indices] if self.masks is not None else None,
+            depths=self.depths[indices] if self.depths is not None else None,
             paths=[self.paths[i] for i in np.atleast_1d(indices)] if self.paths else [],
         )
 
@@ -112,8 +115,17 @@ def load_nerf_dataset(
         if arr.shape[-1] == 3:
             arr = np.concatenate([arr, np.full_like(arr[..., :1], 255)], -1)
         m = np.asarray(fr["transform_matrix"], np.float32)
+        # dynamic_mask_<stem>.png convention (reference nerf_loader mask
+        # handling / scripts/mask_images.py): 1 = excluded from training
+        from .masks import load_mask
+
+        mask = load_mask(p)
+        if mask is not None and downscale > 1:
+            mimg = Image.fromarray((mask * 255).astype(np.uint8)).resize(
+                (arr.shape[1], arr.shape[0]), Image.BILINEAR)
+            mask = np.asarray(mimg).astype(np.float32) / 255.0
         return (arr.astype(np.uint8), nerf_matrix_to_ngp(m, scale, offset),
-                str(p))
+                str(p), mask)
 
     # parallel decode (the reference loads images on a thread pool too,
     # N25 thread_pool.cpp / nerf_loader.cu async loading)
@@ -122,9 +134,15 @@ def load_nerf_dataset(
     images = [r[0] for r in results]
     xforms = [r[1] for r in results]
     paths = [r[2] for r in results]
+    raw_masks = [r[3] for r in results]
 
     images = np.stack(images)
     h, w = images.shape[1:3]
+    masks = None
+    if any(m is not None for m in raw_masks):
+        masks = np.stack([
+            m if m is not None else np.zeros((h, w), np.float32)
+            for m in raw_masks]).astype(np.float32)
 
     if "fl_x" in meta:
         fl = np.array([meta["fl_x"], meta.get("fl_y", meta["fl_x"])], np.float32)
@@ -153,5 +171,6 @@ def load_nerf_dataset(
         scale=scale,
         offset=offset,
         distortion=dist,
+        masks=masks,
         paths=paths,
     )

@@ -37,13 +37,43 @@ def linear_to_srgb(img):
     return xp.where(img > limit, 1.055 * xp.maximum(img, limit) ** (1.0 / 2.4) - 0.055, 12.92 * img)
 
 
+def read_bin_image(path: str) -> np.ndarray:
+    """Read the reference's raw '.bin' image format (scripts/common.py:148):
+    int32 (H, W) header then fp16 RGBA, linear color. Used for gigapixel
+    image-mode inputs that are slow to decode from PNG/JPG."""
+    with open(path, "rb") as f:
+        import struct
+
+        h, w = struct.unpack("ii", f.read(8))
+        data = np.frombuffer(f.read(), np.float16)
+    return data.reshape(h, w, 4).astype(np.float32)
+
+
+def write_bin_image(path: str, img: np.ndarray):
+    """Write the '.bin' format (scripts/common.py:163): pads to RGBA with
+    alpha 1, fp16 payload."""
+    import struct
+
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[2] < 4:
+        pad = np.ones(img.shape[:2] + (4 - img.shape[2],), np.float32)
+        img = np.dstack([img, pad])
+    with open(path, "wb") as f:
+        f.write(struct.pack("ii", img.shape[0], img.shape[1]))
+        f.write(img.astype(np.float16).tobytes())
+
+
 def read_image(path: str, to_linear: bool = False) -> np.ndarray:
-    """Read png/jpg/exr -> float32 (H, W, C). LDR images are returned in
-    [0,1] sRGB unless to_linear; EXR is linear already."""
+    """Read png/jpg/exr/bin -> float32 (H, W, C). LDR images are returned
+    in [0,1] sRGB unless to_linear; EXR and .bin are linear already."""
     path = str(path)
     if path.lower().endswith(".exr"):
         img, _ = read_exr(path)
         return img
+    if path.lower().endswith(".bin"):
+        return read_bin_image(path)
     from PIL import Image
 
     img = np.asarray(Image.open(path)).astype(np.float32) / 255.0

@@ -160,6 +160,9 @@ class NerfTrainer:
 
             self.data["sharpness"] = jnp.asarray(
                 sharpness_weights(sharpness_maps(np.asarray(dataset.images))))
+        # dynamic_mask_* images: zero the loss on masked-out pixels
+        if getattr(dataset, "masks", None) is not None:
+            self.data["mask"] = jnp.asarray(dataset.masks)  # (N, H, W)
 
         self._step = jax.jit(self._train_step, donate_argnums=(0,),
                              static_argnums=(1,))
@@ -282,6 +285,13 @@ class NerfTrainer:
             gx = jnp.minimum((uv[:, 0] * G).astype(jnp.int32), G - 1)
             gy = jnp.minimum((uv[:, 1] * G).astype(jnp.int32), G - 1)
             w_sharp = sh[img_idx, gy, gx]
+        if "mask" in data:
+            mk = data["mask"]                       # (N_img, H, W), 1 = out
+            mh, mw = mk.shape[1], mk.shape[2]
+            mx = jnp.minimum((uv[:, 0] * mw).astype(jnp.int32), mw - 1)
+            my = jnp.minimum((uv[:, 1] * mh).astype(jnp.int32), mh - 1)
+            keep = 1.0 - mk[img_idx, my, mx]
+            w_sharp = keep if w_sharp is None else w_sharp * keep
 
         def ray_mean(per_ray):
             return (jnp.mean(per_ray * w_sharp) if w_sharp is not None
