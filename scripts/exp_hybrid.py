@@ -1,0 +1,78 @@
+"""Hybrid frame timing on the real TPU (PERF.md round-2 target #5).
+
+Times Engine.frame() at 1280x720 with the armadillo virtual scene over a
+synthetic trained state (random params, ~8% occupancy grid — marching
+cost is representative of a converged scene). Mirrors the reference's
+nvprof sweeps (docs/assets_sng/profiling: 1280x720, shadow samples
+{1..8}^2). Emits one JSON line per configuration.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+SCENE = "/root/reference/scripts/virtual_desc/armadillo.json"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synerfgine_tpu.core.config import NGPNetworkConfig
+    from synerfgine_tpu.grid.occupancy import OccupancyGrid
+    from synerfgine_tpu.hybrid.engine import Engine
+    from synerfgine_tpu.hybrid.scene import load_scene_json
+    from synerfgine_tpu.nn.nerf_network import NerfNetwork
+
+    log("devices:", jax.devices())
+    cfg = NGPNetworkConfig.from_json("/root/reference/configs/nerf/base.json")
+    net = NerfNetwork(cfg, aabb_scale=1)
+    params = net.init(jax.random.PRNGKey(0))
+    grid = OccupancyGrid(1)
+    gstate = grid.init()
+    # ~8% occupancy blob in the scene center (typical converged lego)
+    rng = np.random.default_rng(0)
+    dens = np.asarray(gstate.density)
+    occ = rng.uniform(size=dens.shape) < 0.08
+    gstate = gstate._replace(
+        density=jnp.asarray(np.where(occ, 1.0, 0.0).astype(np.float32)),
+        bitfield=jnp.asarray(occ))
+
+    scene = load_scene_json(SCENE)
+    eng = Engine(net, params, grid, gstate, scene, width=1280, height=720)
+    log(f"nerf_res {eng.nerf_res} syn_res {eng.syn_res}")
+
+    # warmup/compile
+    t0 = time.time()
+    out = eng.frame()
+    np.asarray(out["rgba"])
+    log(f"first frame (compile) {time.time()-t0:.1f}s; timings {eng.timings}")
+
+    n = 8
+    t0 = time.time()
+    for _ in range(n):
+        out = eng.frame()
+        np.asarray(out["rgba"])   # host fetch paces the relay
+    dt = (time.time() - t0) / n * 1000
+    print(json.dumps({"metric": "hybrid_frame_ms_720p", "value": round(dt, 1),
+                      "unit": "ms", "timings": {k: round(v, 1) for k, v
+                                                in eng.timings.items()}}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
