@@ -107,6 +107,31 @@ class HashEncoding:
             rest = np.zeros((1, 0))
         self._corners_rest = rest.astype(np.int32)
 
+    def level_stats(self, table) -> list[dict]:
+        """Per-level parameter statistics (the reference's `LevelStats`
+        histogram panel, testbed.cu:4743-4810 gather_histograms): mean,
+        std (sigma), fraction of near-zero entries, min/max, and the
+        level's size/offset. Host-side; cheap enough for periodic logs."""
+        t = np.asarray(table)
+        stats = []
+        for l, (off, size, res, dense) in enumerate(zip(
+                self.level_offsets, self.level_sizes, self.resolutions,
+                self.level_is_dense)):
+            lvl = t[off:off + size]
+            stats.append({
+                "level": l,
+                "resolution": res,
+                "dense": bool(dense),
+                "size": size,
+                "offset": off,
+                "mean": float(lvl.mean()),
+                "sigma": float(lvl.std()),
+                "frac_zero": float((np.abs(lvl) < 1e-5).mean()),
+                "min": float(lvl.min()),
+                "max": float(lvl.max()),
+            })
+        return stats
+
     def grad_scatter_chunks(self) -> list[tuple[int, int]]:
         """(offset, size) ranges for the backward scatter, each <= 2^18
         rows (4 MB at F=4 fp32): XLA's TPU scatter-add runs ~4.5x faster

@@ -225,6 +225,14 @@ class Testbed:
 
         return int(sum(x.size for x in jax.tree.leaves(self.state.params)))
 
+    def hash_level_stats(self) -> list[dict]:
+        """Per-level hash-table statistics (the reference's LevelStats
+        histogram panel, testbed.cu:4743-4810)."""
+        if self.trainer is None:
+            return []
+        enc = self.trainer.network.pos_encoding
+        return enc.level_stats(self.state.params.hash_table)
+
     def compute_and_save_marching_cubes_mesh(self, path: str,
                                              resolution: int = 128,
                                              threshold: float = 2.5):

@@ -43,3 +43,17 @@ def test_metrics_logger(tmp_path):
 
     lines = [json.loads(l) for l in open(p)]
     assert lines[0]["step"] == 1 and lines[1]["loss"] == 0.4
+
+
+def test_hash_level_stats():
+    import jax
+    from synerfgine_tpu.nn.hash_encoding import HashEncoding
+
+    enc = HashEncoding(n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=10, base_resolution=4)
+    table = enc.init(jax.random.PRNGKey(0))
+    stats = enc.level_stats(table)
+    assert len(stats) == 4
+    assert stats[0]["dense"] and stats[0]["resolution"] == 4
+    assert all(s["sigma"] > 0 for s in stats)
+    assert sum(s["size"] for s in stats) == enc.n_params
