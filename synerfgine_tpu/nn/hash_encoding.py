@@ -340,10 +340,20 @@ def stochastic_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
 
 
 def _stoch_fwd(enc: HashEncoding, table, x, u):
+    import os
+
     idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
     # aligned-pair gather: 4 transactions per (sample, level) instead of
-    # 8; the pair-table rebuild is sequential HBM traffic (~2 reads/row)
-    out = enc.paired_encode(enc.make_paired_table(table), x)
+    # 8; the pair-table rebuild is sequential HBM traffic (~2 reads/row).
+    # SYNERFGINE_PAIRED=0 switches back to the 8-corner gather (A/B knob
+    # for perf isolation; read at trace time).
+    if os.environ.get("SYNERFGINE_PAIRED", "1") == "0":
+        feats = table[idx.reshape(-1)].reshape(idx.shape + (enc.F,))
+        out = jnp.sum(feats * w[..., None], axis=2)
+        out = jnp.moveaxis(out, 0, 1).reshape(
+            x.shape[0], enc.n_levels * enc.F)
+    else:
+        out = enc.paired_encode(enc.make_paired_table(table), x)
     return out, (idx, w, u)
 
 
