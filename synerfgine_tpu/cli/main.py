@@ -55,14 +55,33 @@ def _build_trainer(args, dataset):
     return trainer
 
 
+def _load_scene(args, split: str = "train"):
+    """Accept a registered scene name ("lego", "fox", ...) or a path;
+    names resolve through eval/scenes.py (run.py --scene parity)."""
+    import pathlib as _pl
+
+    from ..data import load_nerf_dataset
+    from ..eval.scenes import resolve_scene
+
+    e = resolve_scene(str(args.scene))
+    d = _pl.Path(e["data_dir"])
+    name = e["dataset_train"] if split == "train" else e["dataset_test"]
+    if not (d / name).exists():
+        name = "transforms.json"
+    return load_nerf_dataset(d, transforms_name=name,
+                             downscale=args.downscale), e
+
+
 def cmd_train(args):
     import jax
 
-    from ..data import load_nerf_dataset
     from ..io.snapshot import save_snapshot, load_snapshot, restore_train_state
 
-    ds = load_nerf_dataset(args.scene, downscale=args.downscale)
-    if args.test_every > 0:
+    ds, scene_entry = _load_scene(args)
+    # explicit test split (transforms_test.json) wins over held-out views
+    has_explicit_test = (scene_entry["dataset_train"]
+                         != scene_entry["dataset_test"])
+    if args.test_every > 0 and not has_explicit_test:
         ds, test_ds = ds.train_test_split(args.test_every)
     trainer = _build_trainer(args, ds)
 
@@ -106,12 +125,15 @@ def cmd_train(args):
 def cmd_eval(args):
     import jax
 
-    from ..data import load_nerf_dataset
     from ..eval.harness import evaluate_views
     from ..io.snapshot import load_snapshot, restore_train_state
 
-    ds = load_nerf_dataset(args.scene, downscale=args.downscale)
-    train_ds, test_ds = ds.train_test_split(args.test_every)
+    ds, scene_entry = _load_scene(args)
+    if scene_entry["dataset_train"] != scene_entry["dataset_test"]:
+        train_ds = ds
+        test_ds, _ = _load_scene(args, split="test")
+    else:
+        train_ds, test_ds = ds.train_test_split(args.test_every)
     trainer = _build_trainer(args, train_ds)
     snap = load_snapshot(args.load_snapshot)
     state = restore_train_state(trainer, snap)
@@ -130,11 +152,10 @@ def cmd_render(args):
     import jax
     import numpy as np
 
-    from ..data import load_nerf_dataset
     from ..io.image import write_image
     from ..io.snapshot import load_snapshot, restore_train_state
 
-    ds = load_nerf_dataset(args.scene, downscale=args.downscale)
+    ds, _ = _load_scene(args)
     trainer = _build_trainer(args, ds)
     state = restore_train_state(trainer, load_snapshot(args.load_snapshot))
     out_dir = pathlib.Path(args.out or "renders")
