@@ -16,9 +16,19 @@ SQRT3 = math.sqrt(3.0)
 STEPSIZE = SQRT3 / NERF_STEPS  # ~0.001692
 
 # Largest cone stepsize — bounded so a step never skips a whole grid voxel
-# at the coarsest trained cascade.
+# at the coarsest cascade (nerf_device.cuh:36):
+#   STEPSIZE * 2^(NERF_CASCADES-1) * NERF_STEPS / NERF_GRIDSIZE = sqrt(3).
+# With cone_angle > 0 this is the ceiling of the exponential-stepping
+# regime; the old (round-1) value of STEPSIZE collapsed exponential
+# stepping entirely, so 1024 uniform min-steps covered only ~1.7 world
+# units of a big-aabb scene and far geometry was never sampled.
+MAX_CONE_STEPSIZE = (
+    STEPSIZE * (1 << (NERF_CASCADES - 1)) * NERF_STEPS / NERF_GRIDSIZE
+)
+
+
 def max_cone_stepsize() -> float:
-    return STEPSIZE
+    return MAX_CONE_STEPSIZE
 
 
 # Minimum optical thickness a voxel must reach to stay "occupied"

@@ -27,6 +27,12 @@ class NerfCaptureWriter:
             if not overwrite and any(self.path.iterdir()):
                 raise FileExistsError(
                     f"{self.path} exists; pass overwrite=True")
+            # overwrite: clear any previous capture's images so a shorter
+            # new capture can't leave stale images/<idx>.png behind
+            if overwrite and (self.path / "images").exists():
+                import shutil
+
+                shutil.rmtree(self.path / "images")
         (self.path / "images").mkdir(parents=True, exist_ok=True)
         self.aabb_scale = aabb_scale
         # reference stores depth as uint16 PNG in 1/depth_scale units
@@ -51,8 +57,11 @@ class NerfCaptureWriter:
         }
         if frame.get("depth") is not None:
             dname = f"images/{idx}.depth.png"
+            # store d16 = depth * 65535 / depth_scale so decoding with
+            # integer_depth_scale = depth_scale / 65535 round-trips to
+            # metric depth exactly (reference nerfcapture2nerf.py:192)
             d16 = (np.asarray(frame["depth"], np.float32)
-                   * self.depth_scale * 65535.0 / 10.0)
+                   * 65535.0 / self.depth_scale)
             Image.fromarray(np.clip(d16, 0, 65535).astype(np.uint16)).save(
                 self.path / dname)
             entry["depth_path"] = dname

@@ -65,10 +65,11 @@ def record3d_to_transforms(
     subsample: int = 1,
     aabb_scale: int = 16,
 ) -> dict:
-    """Build the transforms dict; does not touch image files (the
-    reference rewrites rotated jpgs in place — we instead record the
-    rotation in the poses and leave pixels alone unless the caller
-    rotates them)."""
+    """Build the transforms dict; does not itself touch image files.
+    With rotate=True the returned poses/intrinsics assume the jpgs HAVE
+    been rotated upright — `record3d_to_nerf` calls
+    `rotate_images_inplace` first (the reference rewrites rotated jpgs in
+    place, record3d2nerf.py:112)."""
     scene_dir = pathlib.Path(scene_dir)
     metadata = json.loads((scene_dir / "metadata").read_text())
     poses = np.asarray(metadata["poses"], np.float64)
@@ -111,8 +112,25 @@ def record3d_to_transforms(
     }
 
 
+def rotate_images_inplace(scene_dir: str | pathlib.Path, degree: int = 90):
+    """Rotate every rgbd/*.jpg in place (reference rotate_img: PIL
+    rotate(90, expand=1), i.e. portrait -> landscape counterclockwise,
+    saved at quality 100). Must accompany rotate=True so the pixel files
+    agree with the rotated poses/intrinsics."""
+    from PIL import Image
+
+    for p in sorted(pathlib.Path(scene_dir).glob("rgbd/*.jpg")):
+        img = Image.open(p)
+        img = img.rotate(degree, expand=1)
+        img.save(p, quality=100, subsampling=0)
+
+
 def record3d_to_nerf(scene_dir, rotate: bool = False, subsample: int = 1,
                      out: str | None = None) -> str:
+    if rotate:
+        # keep pixels consistent with the rotated poses/intrinsics: the
+        # transforms math assumes upright (rotated) images
+        rotate_images_inplace(scene_dir)
     t = record3d_to_transforms(scene_dir, rotate, subsample)
     out = out or str(pathlib.Path(scene_dir) / "transforms.json")
     with open(out, "w") as f:

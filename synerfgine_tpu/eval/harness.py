@@ -21,14 +21,19 @@ def evaluate_views(
     height: int | None = None,
     n_steps: int | None = None,
     write_dir: str | None = None,
+    spp: int = 8,
 ) -> dict:
-    """Render every view of `dataset` and compute PSNR/SSIM vs GT."""
+    """Render every view of `dataset` and compute PSNR/SSIM vs GT.
+
+    spp defaults to 8 — the reference protocol (run.py:231 renders eval
+    views at 8 samples per pixel with min_transmittance 1e-4)."""
     results = []
     n = dataset.n_images if n_views is None else min(n_views, dataset.n_images)
     for i in range(n):
         out = trainer.render_image(
             params, dataset.xforms[i], width=width, height=height,
             grid_state=grid_state, n_steps=n_steps, bg_color=(0.0, 0.0, 0.0),
+            spp=spp,
         )
         gt = dataset.images[i].astype(np.float32) / 255.0
         if width and (gt.shape[1] != width or gt.shape[0] != height):

@@ -58,6 +58,19 @@ def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
     return jnp.clip(e + 1, 0, max_cascade)
 
 
+def mip_from_dt(dt: jnp.ndarray, pos: jnp.ndarray,
+                max_cascade: int) -> jnp.ndarray:
+    """Cascade matched to the step size (nerf_device.cuh:450-460): when a
+    cone step spans more than half a level-0 voxel, test occupancy at the
+    cascade whose cells are at least as large as the step, so a big step
+    can't tunnel through a fine occupied cell untested."""
+    mip = mip_from_pos(pos, max_cascade)
+    dtg = dt * (2.0 * NERF_GRIDSIZE)
+    _, e = jnp.frexp(jnp.maximum(dtg, 1e-12))
+    return jnp.where(dtg < 1.0, mip,
+                     jnp.clip(jnp.maximum(mip, e), 0, max_cascade))
+
+
 def cascade_cell_of(pos: jnp.ndarray, mip: jnp.ndarray) -> jnp.ndarray:
     """Integer cell coords (..., 3) of pos within cascade `mip`."""
     scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]

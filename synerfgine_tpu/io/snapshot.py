@@ -17,6 +17,13 @@ import msgpack
 import numpy as np
 
 FORMAT_VERSION = 1
+# Version of the hash-table indexing function the stored tables were
+# trained under. 1 = tcnn-style all-XOR hash; 2 = x-additive aligned-pair
+# hash (nn/hash_encoding.py _PRIMES comment). Tables trained under a
+# different hash resume without error but gather the wrong rows, so load
+# refuses on mismatch. This also documents that .ingp interchange with
+# reference/tcnn-trained tables is NOT bit-compatible (hash version 1).
+HASH_VERSION = 2
 MAGIC = "synerfgine-tpu-snapshot"
 
 
@@ -69,6 +76,7 @@ def save_snapshot(
     payload: dict[str, Any] = {
         "magic": MAGIC,
         "format_version": FORMAT_VERSION,
+        "hash_version": HASH_VERSION,
         "step": int(step),
         "config": config or {},
         "dataset_meta": dataset_meta or {},
@@ -108,6 +116,12 @@ def load_snapshot(path: str) -> dict:
         raise ValueError("bad snapshot magic")
     if payload.get("format_version", 0) > FORMAT_VERSION:
         raise ValueError("snapshot from a newer format version")
+    hv = payload.get("hash_version", 1)
+    if hv != HASH_VERSION:
+        raise ValueError(
+            f"{path}: hash tables were trained under hash_version {hv}, "
+            f"this build indexes with hash_version {HASH_VERSION} — "
+            "resuming would silently gather the wrong table rows")
     out = {
         "step": payload["step"],
         "config": payload["config"],

@@ -25,11 +25,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core.constants import STEPSIZE
+from ..core.constants import MAX_CONE_STEPSIZE, STEPSIZE
 from ..core.types import BoundingBox, Ray
-from ..grid.occupancy import OccupancyGrid, mip_from_pos
-
-MAX_CONE_STEPSIZE = STEPSIZE  # level-0 contract (constants.max_cone_stepsize)
+from ..grid.occupancy import OccupancyGrid, mip_from_dt, mip_from_pos
 
 
 def to_stepping_space(t: jnp.ndarray, cone_angle: float) -> jnp.ndarray:
@@ -94,7 +92,10 @@ def march_rays_grid(
     t = from_stepping_space(n, cone_angle)
     dt = from_stepping_space(n + 1.0, cone_angle) - t
     xs = o[:, None, :] + d[:, None, :] * t[..., None]
-    mip = mip_from_pos(xs, grid.max_cascade)
+    # dt-matched cascade like the reference's training sampler
+    # (testbed_nerf.cu:944,975): big exponential steps test occupancy at a
+    # cascade whose cells are at least step-sized
+    mip = mip_from_dt(dt, xs, grid.max_cascade)
     occ = grid.occupied_at(bitfield, xs, mip)
     valid = occ & (t < tmax[:, None]) & aabb.contains(xs)
     return GridSamples(t=t, dt=dt, xs=xs, valid=valid)

@@ -60,7 +60,13 @@ class HashEncoding:
         base_resolution: int = 16,
         per_level_scale: float = 2.0,
         n_dims: int = 3,
+        paired_fwd: bool = True,
     ):
+        # paired_fwd: use the aligned-pair (double-width-row) gather in the
+        # stochastic-VJP training forward. Explicit constructor flag (NOT
+        # an env var read at trace time — jit caches would silently pin
+        # whichever value was set first); A/B via NerfNetwork(paired_fwd=).
+        self.paired_fwd = paired_fwd
         self.n_levels = n_levels
         self.F = n_features_per_level
         self.n_dims = n_dims
@@ -340,14 +346,13 @@ def stochastic_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
 
 
 def _stoch_fwd(enc: HashEncoding, table, x, u):
-    import os
-
     idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
     # aligned-pair gather: 4 transactions per (sample, level) instead of
     # 8; the pair-table rebuild is sequential HBM traffic (~2 reads/row).
-    # SYNERFGINE_PAIRED=0 switches back to the 8-corner gather (A/B knob
-    # for perf isolation; read at trace time).
-    if os.environ.get("SYNERFGINE_PAIRED", "1") == "0":
+    # enc.paired_fwd=False switches back to the 8-corner gather (A/B knob
+    # for perf isolation; a static constructor flag, so each variant gets
+    # its own jit cache entry).
+    if not enc.paired_fwd:
         feats = table[idx.reshape(-1)].reshape(idx.shape + (enc.F,))
         out = jnp.sum(feats * w[..., None], axis=2)
         out = jnp.moveaxis(out, 0, 1).reshape(

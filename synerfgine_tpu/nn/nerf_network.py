@@ -39,7 +39,8 @@ class NerfParams(NamedTuple):
 
 class NerfNetwork:
     def __init__(self, config: NGPNetworkConfig | None = None, aabb_scale: int = 1,
-                 n_extra_dims: int = 0, use_pallas_mlp: bool = False):
+                 n_extra_dims: int = 0, use_pallas_mlp: bool = False,
+                 paired_fwd: bool = True):
         config = config or NGPNetworkConfig()
         self.config = config
         # route MLPs through the Pallas fused chain (weights+activations
@@ -54,6 +55,7 @@ class NerfNetwork:
             base_resolution=enc.base_resolution,
             per_level_scale=enc.resolve_per_level_scale(aabb_scale),
             n_dims=3,
+            paired_fwd=paired_fwd,
         )
         self.sh_degree = config.dir_encoding.degree
         self.n_extra_dims = n_extra_dims

@@ -65,6 +65,62 @@ from .camera_opt import (
 )
 
 
+def _false_color(v: np.ndarray) -> np.ndarray:
+    """Blue->cyan->green->yellow->red ramp for v in [0,1] (the reference's
+    error-map false coloring, testbed.cu:4661-4681 overlay_false_color)."""
+    v = np.clip(v, 0.0, 1.0)[..., None]
+    stops = np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 1.0], [0.0, 1.0, 0.0],
+                      [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
+    x = v * (len(stops) - 1)
+    i = np.clip(x.astype(np.int32), 0, len(stops) - 2)
+    f = x - i
+    return stops[i[..., 0]] * (1 - f) + stops[i[..., 0] + 1] * f
+
+
+def apply_overlay(rgb: np.ndarray, overlay: str, overlay_image=None,
+                  overlay_alpha: float = 1.0, error_map_view=None):
+    """Eyeball-test overlays (testbed.cu:4630-4681):
+    - "gt": blend the ground-truth image over the render (the reference's
+      render_ground_truth compositing; alpha = ground-truth alpha knob);
+    - "error": false-colored |render - gt| per pixel;
+    - "error_map": false-colored trainer error map (E, E) for this view,
+      nearest-upsampled over the frame (the importance-sampling CDF
+      source, testbed_nerf.cu error-map deposit)."""
+    h, w = rgb.shape[:2]
+
+    def prep_gt(img):
+        if img is None:
+            raise ValueError(f"overlay={overlay!r} needs overlay_image")
+        gt = np.asarray(img, np.float32)
+        if gt.ndim == 3 and gt.shape[-1] == 4:
+            gt = gt[..., :3] * gt[..., 3:]
+        if gt.shape[:2] != (h, w):
+            from PIL import Image
+
+            gt = np.asarray(Image.fromarray(
+                (np.clip(gt, 0, 1) * 255).astype(np.uint8)).resize((w, h)),
+                np.float32) / 255.0
+        return gt
+
+    if overlay == "gt":
+        gt = prep_gt(overlay_image)
+        return rgb * (1.0 - overlay_alpha) + gt * overlay_alpha
+    if overlay == "error":
+        gt = prep_gt(overlay_image)
+        err = np.mean((rgb - gt) ** 2, axis=-1)
+        scale = max(float(err.max()), 1e-9)
+        return _false_color(err / scale)
+    if overlay == "error_map":
+        if error_map_view is None:
+            raise ValueError("overlay='error_map' needs error_map_view")
+        em = np.asarray(error_map_view, np.float32)
+        ys = (np.arange(h) * em.shape[0]) // h
+        xs = (np.arange(w) * em.shape[1]) // w
+        up = em[ys[:, None], xs[None, :]]
+        return _false_color(up / max(float(up.max()), 1e-9))
+    raise ValueError(f"unknown overlay mode {overlay!r}")
+
+
 class NerfTrainState(NamedTuple):
     params: NerfParams
     opt_state: NGPOptState
@@ -345,10 +401,12 @@ class NerfTrainer:
                 loss = ray_mean(per_ray)
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     # only supervise rays with valid (>0) depth
-                    # (testbed_nerf.cu:1680 target_depth > 0 gate)
+                    # (testbed_nerf.cu:1680 target_depth > 0 gate); the
+                    # same mask/sharpness weights as the color term apply,
+                    # so masked-out dynamic content leaks no depth grads
                     mask = depth_gt > 0
                     dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
-                    loss = loss + self.depth_supervision_lambda * jnp.mean(dl)
+                    loss = loss + self.depth_supervision_lambda * ray_mean(dl)
                 return loss, per_ray
 
             n_samples = comp_in.n_valid
@@ -379,7 +437,7 @@ class NerfTrainer:
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     mask = depth_gt > 0
                     dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
-                    loss = loss + self.depth_supervision_lambda * jnp.mean(dl)
+                    loss = loss + self.depth_supervision_lambda * ray_mean(dl)
                 return loss, per_ray
 
             n_samples = jnp.sum(samples.valid)
@@ -602,6 +660,11 @@ class NerfTrainer:
         render_aabb_to_local: jnp.ndarray | None = None,
         slice_plane_z: float = 0.0,
         seed: int = 0,
+        snap_to_pixel_centers: bool = False,
+        overlay: str | None = None,
+        overlay_image=None,
+        overlay_alpha: float = 1.0,
+        error_map_view=None,
     ) -> dict:
         """Render a full frame (sRGB rgb + alpha + depth), chunked over
         pixel blocks. Uses the grid marcher when grid_state given.
@@ -656,7 +719,7 @@ class NerfTrainer:
             for s in range(spp):
                 key, k_uv, k_ap, k_m = jax.random.split(key, 4)
                 uv_s = uv
-                if spp > 1:
+                if spp > 1 and not snap_to_pixel_centers:
                     uv_s = uv + (jax.random.uniform(k_uv, uv.shape) - 0.5) / jnp.asarray([w, h])
                 ap_uv = (jax.random.uniform(k_ap, (R, 2))
                          if aperture_size > 0 else None)
@@ -797,6 +860,9 @@ class NerfTrainer:
         rgb = np.concatenate(rgbs)[:n_px].reshape(h, w, 3)
         alpha = np.concatenate(alphas)[:n_px].reshape(h, w)
         depth = np.concatenate(depths)[:n_px].reshape(h, w)
+        if overlay:
+            rgb = apply_overlay(rgb, overlay, overlay_image, overlay_alpha,
+                                error_map_view)
         return {"rgb": rgb, "alpha": alpha, "depth": depth}
 
     def autofocus(self, params: NerfParams, camera_matrix,

@@ -142,3 +142,81 @@ def test_nerfcapture_writer(tmp_path):
     assert len(t["frames"]) == 3
     assert "integer_depth_scale" in t
     assert (tmp_path / "cap" / t["frames"][0]["depth_path"]).exists()
+
+
+def test_nerfcapture_depth_roundtrip(tmp_path):
+    """Decoding the stored uint16 depth with integer_depth_scale must
+    return metric depth (reference nerfcapture2nerf.py:192 convention:
+    d16 = depth * 65535 / depth_scale)."""
+    from PIL import Image
+
+    from synerfgine_tpu.data.nerfcapture import NerfCaptureWriter
+
+    depth = np.array([[0.5, 1.0], [2.5, 9.5]], np.float32)
+    wtr = NerfCaptureWriter(tmp_path / "cap", overwrite=True,
+                            depth_scale=10.0)
+    wtr.add_frame({
+        "image": np.zeros((2, 2, 3), np.uint8), "depth": depth,
+        "transform_matrix": np.eye(4),
+        "fl_x": 2.0, "fl_y": 2.0, "cx": 1.0, "cy": 1.0,
+    })
+    out = wtr.finalize()
+    t = json.loads(open(out).read())
+    d16 = np.asarray(Image.open(
+        tmp_path / "cap" / t["frames"][0]["depth_path"]))
+    decoded = d16.astype(np.float32) * t["integer_depth_scale"]
+    np.testing.assert_allclose(decoded, depth, atol=2e-4)
+
+
+def test_nerfcapture_overwrite_clears_stale(tmp_path):
+    from synerfgine_tpu.data.nerfcapture import NerfCaptureWriter
+
+    w1 = NerfCaptureWriter(tmp_path / "cap", overwrite=True)
+    for i in range(3):
+        w1.add_frame({"image": np.zeros((4, 4, 3), np.uint8),
+                      "transform_matrix": np.eye(4),
+                      "fl_x": 2.0, "fl_y": 2.0, "cx": 2.0, "cy": 2.0})
+    w1.finalize()
+    w2 = NerfCaptureWriter(tmp_path / "cap", overwrite=True)
+    w2.add_frame({"image": np.zeros((4, 4, 3), np.uint8),
+                  "transform_matrix": np.eye(4),
+                  "fl_x": 2.0, "fl_y": 2.0, "cx": 2.0, "cy": 2.0})
+    w2.finalize()
+    pngs = sorted((tmp_path / "cap" / "images").glob("*.png"))
+    assert [p.name for p in pngs] == ["0.png"]
+
+
+def test_record3d_rotate_rotates_pixels(tmp_path):
+    """--rotate must rotate the jpgs themselves (reference
+    record3d2nerf.py:112 rotates in place), so the emitted w/h match the
+    files and cx'/cy' land on the rotated principal point."""
+    from PIL import Image
+
+    from synerfgine_tpu.data.record3d import record3d_to_nerf
+
+    scene = tmp_path / "cap"
+    (scene / "rgbd").mkdir(parents=True)
+    # portrait 32h x 24w with an asymmetric marker at top-left
+    img = np.zeros((32, 24, 3), np.uint8)
+    img[0:4, 0:4] = 255
+    for i in range(3):
+        Image.fromarray(img).save(scene / "rgbd" / f"{i}.jpg")
+        a = 2 * np.pi * i / 3
+    poses = [[0, np.sin(np.pi * i / 3), 0, np.cos(np.pi * i / 3),
+              3 * np.sin(2 * np.pi * i / 3), 0.0,
+              3 * np.cos(2 * np.pi * i / 3)] for i in range(3)]
+    meta = {"poses": poses, "h": 32, "w": 24,
+            "K": np.array([[20.0, 0, 0], [0, 21.0, 0],
+                           [12.0, 16.0, 1.0]]).T.reshape(-1).tolist()}
+    (scene / "metadata").write_text(json.dumps(meta))
+
+    out = record3d_to_nerf(scene, rotate=True)
+    t = json.loads(open(out).read())
+    rotated = np.asarray(Image.open(scene / "rgbd" / "0.jpg"))
+    # landscape now; dims in transforms match the pixel files
+    assert rotated.shape[:2] == (24, 32)
+    assert t["w"] == 32 and t["h"] == 24
+    # PIL rotate(90, expand=1) is counterclockwise: old top-left marker
+    # moves to the bottom-left
+    assert rotated[-4:, :4].mean() > 200
+    assert rotated[:4, -4:].mean() < 50

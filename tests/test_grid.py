@@ -144,6 +144,59 @@ def test_stepping_space_cone_roundtrip():
     assert dts[3] > dts[1]
 
 
+def test_stepping_space_reference_regimes():
+    """The three regimes of the reference's exponential stepping
+    (nerf_device.cuh:379-430) at cone_angle = 1/256:
+    dt == STEPSIZE near the camera, dt ~= t * cone in the log region, and
+    dt saturates at MAX_CONE_STEPSIZE() = STEPSIZE * 2^(CASCADES-1) *
+    STEPS / GRIDSIZE = sqrt(3) (nerf_device.cuh:36) far away — NOT at
+    STEPSIZE (the round-1 bug that made far geometry unreachable)."""
+    from synerfgine_tpu.core.constants import (
+        MAX_CONE_STEPSIZE, NERF_CASCADES, NERF_GRIDSIZE, NERF_STEPS)
+
+    assert MAX_CONE_STEPSIZE == STEPSIZE * (1 << (NERF_CASCADES - 1)) \
+        * NERF_STEPS / NERF_GRIDSIZE
+    np.testing.assert_allclose(MAX_CONE_STEPSIZE, np.sqrt(3.0), rtol=1e-6)
+
+    cone = 1.0 / 256.0
+
+    def dt_at(t):
+        n = to_stepping_space(jnp.float32(t), cone)
+        return float(from_stepping_space(n + 1.0, cone)
+                     - from_stepping_space(n, cone))
+
+    # near regime: min step
+    np.testing.assert_allclose(dt_at(0.01), STEPSIZE, rtol=1e-3)
+    # log regime: dt ~= t * log(1+cone) ~= t * cone (fp32 exp/log slop)
+    np.testing.assert_allclose(dt_at(10.0), 10.0 * np.log1p(cone), rtol=1e-2)
+    # far regime: saturated at MAX_CONE_STEPSIZE; 1024 steps from the
+    # camera now reach t ~= 8.7 (the reference's behavior) instead of
+    # ~1.7 with the collapsed constant
+    np.testing.assert_allclose(dt_at(2000.0), MAX_CONE_STEPSIZE, rtol=1e-3)
+    span = float(from_stepping_space(to_stepping_space(
+        jnp.float32(1e-4), cone) + 1024.0, cone))
+    assert span > 5.0
+
+
+def test_mip_from_dt():
+    """mip_from_dt (nerf_device.cuh:450-460): returns mip_from_pos while
+    dt*2*G < 1, else at least the exponent of dt*2*G."""
+    from synerfgine_tpu.grid.occupancy import mip_from_dt, mip_from_pos
+
+    pos = jnp.array([[0.5, 0.5, 0.6],      # mip 0 cell
+                     [0.5, 0.5, 4.0]])     # far: mip_from_pos = 3
+    base = np.asarray(mip_from_pos(pos, 7))
+    # tiny dt: unchanged
+    m = np.asarray(mip_from_dt(jnp.full((2,), STEPSIZE), pos, 7))
+    np.testing.assert_array_equal(m, base)
+    # big dt = 0.1: dt*2*128 = 25.6 -> frexp exponent 5 -> at least 5
+    m = np.asarray(mip_from_dt(jnp.full((2,), 0.1), pos, 7))
+    assert m[0] == 5 and m[1] == 5
+    # dt-mip never decreases below the pos mip
+    m = np.asarray(mip_from_dt(jnp.full((2,), 0.01), pos, 7))
+    assert m[1] >= base[1]
+
+
 # ------------------------------------------------------------- marching
 def test_march_full_bitfield_hits_everything():
     grid = OccupancyGrid(aabb_scale=1)

@@ -89,3 +89,35 @@ def test_render_distortion_vis_nonzero_with_field(setup):
                           render_mode="distortion")
     # constant +0.002 uv offset -> r=g=0.5+0.2 everywhere
     assert np.allclose(out["rgb"][..., :2], 0.7, atol=1e-3)
+
+
+def test_render_overlays(setup):
+    """GT / error / error-map overlay compositing (testbed.cu:4630-4681)."""
+    tr, state, ds = setup
+    gt = ds.images[0].astype(np.float32) / 255.0
+    out_gt = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                             n_steps=16, overlay="gt", overlay_image=gt,
+                             overlay_alpha=1.0)
+    # full-alpha GT overlay == the (resized) GT composited on black
+    from PIL import Image
+
+    gt3 = gt[..., :3] * gt[..., 3:]
+    small = np.asarray(Image.fromarray(
+        (np.clip(gt3, 0, 1) * 255).astype(np.uint8)).resize((16, 12)),
+        np.float32) / 255.0
+    np.testing.assert_allclose(out_gt["rgb"], small, atol=1e-5)
+
+    out_err = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                              n_steps=16, overlay="error", overlay_image=gt)
+    assert np.isfinite(out_err["rgb"]).all()
+    assert out_err["rgb"].min() >= 0 and out_err["rgb"].max() <= 1
+
+    em = np.random.default_rng(0).uniform(size=(8, 8)).astype(np.float32)
+    out_em = tr.render_image(state.params, ds.xforms[0], width=16, height=12,
+                             n_steps=16, overlay="error_map",
+                             error_map_view=em)
+    assert out_em["rgb"].shape == (12, 16, 3)
+
+    with pytest.raises(ValueError):
+        tr.render_image(state.params, ds.xforms[0], width=8, height=8,
+                        n_steps=8, overlay="nope")

@@ -80,3 +80,32 @@ def test_snapshot_rejects_garbage(tmp_path):
 
     with pytest.raises(ValueError):
         load_snapshot(str(p))
+
+
+def test_snapshot_rejects_old_hash_version(tmp_path):
+    """Tables trained under the pre-aligned-pair XOR hash (hash_version 1,
+    or absent) must refuse to load: they'd resume without error but
+    gather the wrong rows."""
+    import msgpack
+    import pytest
+    import zlib
+
+    net = _tiny_network()
+    params = net.init(jax.random.PRNGKey(1))
+    path = tmp_path / "old.sng"
+    save_snapshot(str(path), params)
+    # rewrite the payload with the old hash version
+    raw = zlib.decompress(path.read_bytes()[4:])
+    payload = msgpack.unpackb(raw, raw=False)
+    assert payload["hash_version"] == 2
+    payload["hash_version"] = 1
+    path.write_bytes(b"SNGZ" + zlib.compress(
+        msgpack.packb(payload, use_bin_type=True)))
+    with pytest.raises(ValueError, match="hash_version"):
+        load_snapshot(str(path))
+    # absent field == version 1 == refuse
+    del payload["hash_version"]
+    path.write_bytes(b"SNGZ" + zlib.compress(
+        msgpack.packb(payload, use_bin_type=True)))
+    with pytest.raises(ValueError, match="hash_version"):
+        load_snapshot(str(path))
