@@ -59,24 +59,32 @@ def uv_to_ray(
     aperture_size: float = 0.0,
     focus_z: float = 1.0,
     aperture_uv: jnp.ndarray | None = None,
+    lens=None,
 ) -> Ray:
     """Map screen uv in [0,1]^2 to world-space rays.
 
     uv: (..., 2); camera: (3, 4) NGP c2w. Directions are NOT normalized —
     like the reference, `t` parameterizes depth along the camera z axis so
-    depth buffers compare directly.
+    depth buffers compare directly. `lens` (core.lens.Lens) applies the
+    OpenCV/fisheye/ftheta/latlong models of the reference's uv_to_ray
+    (common_device.cuh:403-455).
     """
     res = jnp.asarray(resolution, jnp.float32)
     fl = jnp.asarray(focal_length, jnp.float32)
     pp = jnp.asarray(principal_point, jnp.float32)
-    d_cam = jnp.stack(
-        [
-            (uv[..., 0] - pp[0]) * res[0] / fl[0],
-            (uv[..., 1] - pp[1]) * res[1] / fl[1],
-            jnp.ones_like(uv[..., 0]),
-        ],
-        axis=-1,
-    )
+    if lens is not None and lens.is_distorted:
+        from .lens import lens_ray_dir
+
+        d_cam = lens_ray_dir(uv, res, fl, pp, lens)
+    else:
+        d_cam = jnp.stack(
+            [
+                (uv[..., 0] - pp[0]) * res[0] / fl[0],
+                (uv[..., 1] - pp[1]) * res[1] / fl[1],
+                jnp.ones_like(uv[..., 0]),
+            ],
+            axis=-1,
+        )
     if aperture_size > 0.0 and aperture_uv is not None:
         # Thin-lens: jitter the origin on the aperture disk, refocus at focus_z.
         r = jnp.sqrt(aperture_uv[..., 0])
@@ -101,23 +109,32 @@ def uv_to_ray_batched(
     resolution,
     focal_length,
     principal_point=(0.5, 0.5),
+    lens=None,
 ) -> Ray:
     """Per-ray camera matrices: uv (R, 2), cameras (R, 3, 4) -> Ray of (R, 3).
 
     The training sampler draws each ray from a different image
-    (testbed_nerf.cu:838-991 behavior), so the camera is per-ray.
+    (testbed_nerf.cu:838-991 behavior), so the camera is per-ray —
+    focal_length/principal_point may likewise be per-ray (R, 2) arrays
+    (per-image TrainingImageMetadata, nerf_loader.h:45-60), and `lens`
+    applies the dataset's distortion model in ray generation.
     """
     res = jnp.asarray(resolution, jnp.float32)
-    fl = jnp.asarray(focal_length, jnp.float32)
-    pp = jnp.asarray(principal_point, jnp.float32)
-    d_cam = jnp.stack(
-        [
-            (uv[..., 0] - pp[0]) * res[0] / fl[0],
-            (uv[..., 1] - pp[1]) * res[1] / fl[1],
-            jnp.ones_like(uv[..., 0]),
-        ],
-        axis=-1,
-    )
+    fl = jnp.atleast_2d(jnp.asarray(focal_length, jnp.float32))
+    pp = jnp.atleast_2d(jnp.asarray(principal_point, jnp.float32))
+    if lens is not None and lens.is_distorted:
+        from .lens import lens_ray_dir
+
+        d_cam = lens_ray_dir(uv, res, fl, pp, lens)
+    else:
+        d_cam = jnp.stack(
+            [
+                (uv[..., 0] - pp[..., 0]) * res[0] / fl[..., 0],
+                (uv[..., 1] - pp[..., 1]) * res[1] / fl[..., 1],
+                jnp.ones_like(uv[..., 0]),
+            ],
+            axis=-1,
+        )
     d = jnp.einsum("rij,rj->ri", cameras[:, :, :3], d_cam, precision=_PREC)
     o = cameras[:, :, 3]
     return Ray(o, d)

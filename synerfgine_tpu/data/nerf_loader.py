@@ -3,9 +3,22 @@
 Capability match for the reference's `NerfDataset`/`load_nerf`
 (nerf_loader.h:49-169, nerf_loader.cu:273): parses the instant-ngp
 transforms.json dialect (camera_angle_x or fl_x/fl_y, optional cx/cy,
-k1/k2/p1/p2 distortion, aabb_scale, scale, offset, per-frame
-transform_matrix), converts camera-to-world matrices to NGP convention
-(axis cycle + y/z flip + scale/offset) and loads images.
+k1/k2/p1/p2 distortion -> Lens, aabb_scale, scale, offset, per-frame
+transform_matrix, per-frame intrinsics overrides, per-frame depth maps),
+converts camera-to-world matrices to NGP convention (axis cycle + y/z
+flip + scale/offset) and loads images.
+
+Per-image metadata (reference TrainingImageMetadata, nerf_loader.h:45-60):
+`focals` (N, 2) and `pps` (N, 2) carry per-frame focal/principal-point
+overrides (nerf_loader.cu:695 read_lens per-frame override). Unlike the
+reference, image *resolution* is unified at load: frames whose pixel
+dims differ from the first frame are resized to it with intrinsics scaled
+to match — a static-shape (N, H, W, 4) tensor is what makes the TPU
+training sampler one gather instead of per-image control flow.
+
+Depth maps (nerf_loader.cu:625-630): frames with "depth_path" load
+uint16 PNGs scaled by the dataset's "integer_depth_scale" into metric
+`depths` (N, H, W); 0 marks pixels without depth.
 
 Color pipeline: the reference stores linear premultiplied-alpha texels and
 reconstructs sRGB targets in the loss kernel
@@ -25,6 +38,7 @@ import numpy as np
 
 from ..core.camera import nerf_matrix_to_ngp
 from ..core.constants import NERF_SCALE
+from ..core.lens import Lens, lens_from_transforms
 
 
 @dataclasses.dataclass
@@ -32,13 +46,16 @@ class NerfDataset:
     images: np.ndarray          # (N, H, W, 4) uint8, sRGB + straight alpha
     xforms: np.ndarray          # (N, 3, 4) float32, NGP convention
     resolution: tuple[int, int]  # (W, H)
-    focal_length: np.ndarray    # (2,) float32 pixels
-    principal_point: np.ndarray  # (2,) float32 in [0,1]
+    focal_length: np.ndarray    # (2,) float32 pixels (dataset default)
+    principal_point: np.ndarray  # (2,) float32 in [0,1] (dataset default)
     aabb_scale: int = 1
     scale: float = NERF_SCALE
     offset: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([0.5, 0.5, 0.5], np.float32))
     distortion: np.ndarray | None = None  # (4,) k1 k2 p1 p2 if present
+    lens: Lens = dataclasses.field(default_factory=Lens)
+    focals: np.ndarray | None = None      # (N, 2) per-image focal override
+    pps: np.ndarray | None = None         # (N, 2) per-image principal point
     depths: np.ndarray | None = None      # (N, H, W) metric depth, 0 = none
     masks: np.ndarray | None = None       # (N, H, W) in [0,1], 1 = excluded
     paths: list = dataclasses.field(default_factory=list)
@@ -46,6 +63,19 @@ class NerfDataset:
     @property
     def n_images(self) -> int:
         return self.images.shape[0]
+
+    @property
+    def per_image_focals(self) -> np.ndarray:
+        """(N, 2) focal for every image (override or broadcast default)."""
+        if self.focals is not None:
+            return self.focals
+        return np.broadcast_to(self.focal_length, (self.n_images, 2))
+
+    @property
+    def per_image_pps(self) -> np.ndarray:
+        if self.pps is not None:
+            return self.pps
+        return np.broadcast_to(self.principal_point, (self.n_images, 2))
 
     def train_test_split(self, test_every: int = 8):
         """Hold out every k-th view (the repo ships a single transforms.json
@@ -60,6 +90,8 @@ class NerfDataset:
             self,
             images=self.images[indices],
             xforms=self.xforms[indices],
+            focals=self.focals[indices] if self.focals is not None else None,
+            pps=self.pps[indices] if self.pps is not None else None,
             masks=self.masks[indices] if self.masks is not None else None,
             depths=self.depths[indices] if self.depths is not None else None,
             paths=[self.paths[i] for i in np.atleast_1d(indices)] if self.paths else [],
@@ -75,6 +107,23 @@ def _resolve_image_path(base: pathlib.Path, file_path: str) -> pathlib.Path | No
         if q.exists():
             return q
     return None
+
+
+def _load_depth(base: pathlib.Path, fr: dict, depth_scale: float,
+                size_wh: tuple[int, int]) -> np.ndarray | None:
+    """uint16 depth PNG * integer_depth_scale -> metric depth
+    (nerf_loader.cu:625-630)."""
+    if depth_scale <= 0 or "depth_path" not in fr:
+        return None
+    p = base / fr["depth_path"]
+    if not p.exists():
+        return None
+    from PIL import Image
+
+    img = Image.open(p)
+    if (img.width, img.height) != size_wh:
+        img = img.resize(size_wh, Image.NEAREST)
+    return np.asarray(img).astype(np.float32) * depth_scale
 
 
 def load_nerf_dataset(
@@ -100,12 +149,14 @@ def load_nerf_dataset(
 
     scale = float(meta.get("scale", NERF_SCALE))
     offset = np.asarray(meta.get("offset", [0.5, 0.5, 0.5]), np.float32)
+    depth_scale = float(meta.get("integer_depth_scale", 0.0))
 
     def load_one(fr):
         p = _resolve_image_path(base, fr["file_path"])
         if p is None:
             return None
         img = Image.open(p)
+        native_w, native_h = img.width, img.height
         if downscale > 1:
             img = img.resize((img.width // downscale, img.height // downscale),
                              Image.LANCZOS)
@@ -124,8 +175,10 @@ def load_nerf_dataset(
             mimg = Image.fromarray((mask * 255).astype(np.uint8)).resize(
                 (arr.shape[1], arr.shape[0]), Image.BILINEAR)
             mask = np.asarray(mimg).astype(np.float32) / 255.0
+        depth = _load_depth(base, fr, depth_scale,
+                            (arr.shape[1], arr.shape[0]))
         return (arr.astype(np.uint8), nerf_matrix_to_ngp(m, scale, offset),
-                str(p), mask)
+                str(p), mask, depth, (native_w, native_h), fr)
 
     # parallel decode (the reference loads images on a thread pool too,
     # N25 thread_pool.cpp / nerf_loader.cu async loading)
@@ -135,27 +188,86 @@ def load_nerf_dataset(
     xforms = [r[1] for r in results]
     paths = [r[2] for r in results]
     raw_masks = [r[3] for r in results]
+    raw_depths = [r[4] for r in results]
+    native_sizes = [r[5] for r in results]
+    kept_frames = [r[6] for r in results]
+
+    # unify mixed resolutions to the first frame's (static-shape tensor;
+    # intrinsics of resized frames are scaled below via per-image focals)
+    h, w = images[0].shape[:2]
+    resize_scales = []
+    for i, img in enumerate(images):
+        if img.shape[:2] != (h, w):
+            sy, sx = h / img.shape[0], w / img.shape[1]
+            pil = Image.fromarray(img).resize((w, h), Image.LANCZOS)
+            images[i] = np.asarray(pil).astype(np.uint8)
+            if raw_depths[i] is not None:
+                d = Image.fromarray(raw_depths[i]).resize((w, h),
+                                                          Image.NEAREST)
+                raw_depths[i] = np.asarray(d)
+            resize_scales.append((sx, sy))
+        else:
+            resize_scales.append((1.0, 1.0))
 
     images = np.stack(images)
-    h, w = images.shape[1:3]
     masks = None
     if any(m is not None for m in raw_masks):
         masks = np.stack([
             m if m is not None else np.zeros((h, w), np.float32)
             for m in raw_masks]).astype(np.float32)
+    depths = None
+    if any(d is not None for d in raw_depths):
+        depths = np.stack([
+            np.asarray(d, np.float32) if d is not None
+            else np.zeros((h, w), np.float32)
+            for d in raw_depths])
 
-    if "fl_x" in meta:
-        fl = np.array([meta["fl_x"], meta.get("fl_y", meta["fl_x"])], np.float32)
-        fl = fl / downscale
-    else:
-        ca = meta["camera_angle_x"]
-        flx = 0.5 * w / np.tan(0.5 * ca)
-        fl = np.array([flx, flx], np.float32)
+    def focal_from(meta_or_frame, width, height, fallback=None):
+        if "fl_x" in meta_or_frame:
+            f = meta_or_frame
+            return np.array([f["fl_x"], f.get("fl_y", f["fl_x"])], np.float32)
+        if "camera_angle_x" in meta_or_frame:
+            ca = meta_or_frame["camera_angle_x"]
+            flx = 0.5 * width / np.tan(0.5 * ca)
+            if "camera_angle_y" in meta_or_frame:
+                fly = 0.5 * height / np.tan(
+                    0.5 * meta_or_frame["camera_angle_y"])
+            else:
+                fly = flx
+            return np.array([flx, fly], np.float32)
+        return fallback
+
+    native_w0, native_h0 = native_sizes[0]
+    fl = focal_from(meta, native_w0, native_h0)
+    if fl is None:
+        fl = focal_from(kept_frames[0], native_w0, native_h0,
+                        np.array([native_w0, native_w0], np.float32))
+    fl = fl / downscale
     pp = np.array(
-        [meta.get("cx", w * downscale / 2) / (w * downscale),
-         meta.get("cy", h * downscale / 2) / (h * downscale)],
+        [meta.get("cx", native_w0 / 2) / native_w0,
+         meta.get("cy", native_h0 / 2) / native_h0],
         np.float32,
     )
+
+    # per-frame intrinsics overrides (reference nerf_loader.cu:695
+    # "see if there is a per-frame override")
+    focals = pps = None
+    has_override = any(
+        any(k in fr for k in ("fl_x", "camera_angle_x", "cx", "cy"))
+        for fr in kept_frames)
+    if has_override or any(s != (1.0, 1.0) for s in resize_scales):
+        focals = np.empty((len(kept_frames), 2), np.float32)
+        pps = np.empty((len(kept_frames), 2), np.float32)
+        for i, fr in enumerate(kept_frames):
+            nw, nh = native_sizes[i]
+            f_i = focal_from(fr, nw, nh, fl * downscale) / downscale
+            sx, sy = resize_scales[i]
+            focals[i] = f_i * np.array([sx, sy], np.float32)
+            pps[i] = [fr.get("cx", meta.get("cx", nw / 2)) / nw,
+                      fr.get("cy", meta.get("cy", nh / 2)) / nh]
+        if (np.allclose(focals, fl) and np.allclose(pps, pp)):
+            focals = pps = None  # overrides equal the defaults
+
     dist = None
     if any(k in meta for k in ("k1", "k2", "p1", "p2")):
         dist = np.array([meta.get("k1", 0.0), meta.get("k2", 0.0),
@@ -171,6 +283,10 @@ def load_nerf_dataset(
         scale=scale,
         offset=offset,
         distortion=dist,
+        lens=lens_from_transforms(meta),
+        focals=focals,
+        pps=pps,
+        depths=depths,
         masks=masks,
         paths=paths,
     )

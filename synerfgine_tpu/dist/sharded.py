@@ -6,9 +6,20 @@ The distributed-training layer the reference lacks (SURVEY.md §2.4 row
 replicated, and gradients are `psum`ed over ICI inside `shard_map` so XLA
 can overlap the all-reduce with the backward pass.
 
-Per-shard RNG: each device derives its own key with `fold_in(axis_index)`,
-so shards sample disjoint ray batches — the global batch is
-n_devices * n_rays_per_shard rays.
+The distributed step IS the measured fast path: `ShardedNerfTrainer`
+re-jits the wrapped trainer's own `_train_step` / `_train_scan` /
+`_grid_update_fn` bodies inside `shard_map` (the trainer is constructed
+SPMD-aware via `spmd_axis`/`n_shards`), so scan fusion, adaptive rays,
+the grid-update cadence, error-map deposits, camera/exposure optimization
+and envmap training all run identically on 1 chip and N chips — the only
+differences are the per-shard ray slice and the collective reductions
+(`pmean` grads/loss, `psum` counters/error-map deltas, `pmax` grid
+splats) inserted by the trainer when `spmd_axis` is set.
+
+Per-shard RNG: each device folds `axis_index` into the step key, so
+shards sample disjoint ray batches — the global batch is exactly the
+single-device batch (n_rays and batch_size are GLOBAL sizes, divided
+across shards inside the step).
 """
 from __future__ import annotations
 
@@ -23,76 +34,68 @@ from .mesh import data_axis
 
 
 class ShardedNerfTrainer:
-    """Wraps a NerfTrainer with a mesh-parallel train step.
+    """Runs a NerfTrainer's full fast path under shard_map.
 
-    The wrapped trainer's `loss_and_grads` runs per-shard with
-    n_rays/batch_size divided by the mesh size; loss and grads are
-    averaged with `psum` and the (replicated) optimizer update is applied
-    identically on every device.
+    Takes ownership of `trainer`: its jitted entry points are replaced
+    with shard_map'ed versions and its SPMD fields are set, after which
+    `trainer.train(...)` / `trainer.step(...)` themselves execute the
+    distributed program (this wrapper's train/step delegate to them).
     """
 
     def __init__(self, trainer: NerfTrainer, mesh: Mesh):
         self.trainer = trainer
         self.mesh = mesh
         self.n_shards = mesh.devices.size
-        assert trainer.n_rays % self.n_shards == 0, "n_rays % mesh size != 0"
-        self._rays_per_shard = trainer.n_rays // self.n_shards
-        self._batch_per_shard = trainer.batch_size // self.n_shards
+        if (trainer.n_rays % self.n_shards
+                or trainer.batch_size % (8 * self.n_shards)):
+            raise ValueError(
+                "n_rays must divide mesh size and batch_size must divide "
+                "8 * mesh size (segment compaction granularity)")
+        # make the trainer's step bodies emit the collective reductions
+        trainer.spmd_axis = data_axis
+        trainer.n_shards = self.n_shards
 
-        replicated = NamedSharding(mesh, P())
+        rep = P()
+        self._replicated = NamedSharding(mesh, rep)
+        tr = trainer
 
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=(P(), P(), P()),
-            check_rep=False,
-        )
-        def sharded_core(state: NerfTrainState, data, key):
-            shard_key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
-            loss, grads, n_samples, _aux = trainer.loss_and_grads(
-                state.params,
-                state.grid.bitfield,
-                shard_key,
-                n_rays=self._rays_per_shard,
-                batch_size=self._batch_per_shard,
-                data=data,
-            )
-            loss = jax.lax.pmean(loss, data_axis)
-            grads = jax.lax.pmean(grads, data_axis)
-            n_samples = jax.lax.psum(n_samples, data_axis)
-            params, opt_state = trainer.opt.update(
-                grads, state.opt_state, state.params
-            )
-            return (
-                NerfTrainState(params, opt_state, state.grid, state.key),
-                loss,
-                n_samples,
-            )
+        def smap(fn, n_in, n_out):
+            return shard_map(fn, mesh=mesh, in_specs=(rep,) * n_in,
+                             out_specs=(rep,) * n_out if n_out > 1 else rep,
+                             check_rep=False)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def step(state: NerfTrainState, data):
-            key, k_step = jax.random.split(state.key)
-            new_state, loss, n_samples = sharded_core(
-                state._replace(key=key), data, k_step
-            )
-            return new_state._replace(key=key), loss, n_samples
+        def sharded_step(state, n_rays, data):
+            body = smap(lambda s, d: tr._train_step(s, n_rays, d), 2, 3)
+            return body(state, data)
 
-        self._step = step
-        self._replicated = replicated
+        def sharded_grid(state, full_sweep):
+            body = smap(lambda s: tr._grid_update_fn(s, full_sweep), 1, 1)
+            return body(state)
+
+        def sharded_scan(state, data, n_steps, warmup, n_rays):
+            body = smap(
+                lambda s, d: tr._train_scan(s, d, n_steps, warmup, n_rays),
+                2, 3)
+            return body(state, data)
+
+        # replace the trainer's jitted entries so its own host loop
+        # (train(), step(), adaptive rays, cadence) drives the mesh
+        tr._step = jax.jit(sharded_step, donate_argnums=(0,),
+                           static_argnums=(1,))
+        tr._grid_update = jax.jit(sharded_grid, donate_argnums=(0,),
+                                  static_argnums=(1,))
+        tr._scan_steps = jax.jit(sharded_scan, donate_argnums=(0,),
+                                 static_argnums=(2, 3, 4))
 
     def init(self, key: jax.Array, mark_untrained: bool = True) -> NerfTrainState:
         state = self.trainer.init(key, mark_untrained)
         return jax.device_put(state, self._replicated)
 
     def step(self, state: NerfTrainState):
-        """One training step incl. the trainer's grid-update cadence
-        (grid update runs replicated — it is cheap relative to training)."""
-        tr = self.trainer
-        if tr.use_grid:
-            s = tr.host_step
-            if s < tr.grid_warmup_steps or s % tr.grid_update_cadence == 0:
-                state = tr._grid_update(state, s < tr.grid_warmup_steps)
-        state, loss, _ = self._step(state, tr.data)
-        tr.host_step += 1
-        return state, loss
+        """One training step incl. the trainer's grid-update cadence."""
+        return self.trainer.step(state)
+
+    def train(self, state: NerfTrainState, n_steps: int, **kw):
+        """The scan-fused block loop — identical host code to the
+        single-device fast path (NerfTrainer.train)."""
+        return self.trainer.train(state, n_steps, **kw)

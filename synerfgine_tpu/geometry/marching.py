@@ -164,11 +164,15 @@ def extract_nerf_mesh(
     xx, yy, zz = np.meshgrid(g, g, g, indexing="ij")
     pts = np.stack([xx, yy, zz], -1).reshape(-1, 3)
 
-    dens_fn = jax.jit(lambda p, x: density_activation(
-        network.density(p, x, paired=True)[:, 0]))
+    # aligned-pair table built once, not per chunk
+    paired_tbl = jax.jit(network.pos_encoding.make_paired_table)(
+        params.hash_table)
+    dens_fn = jax.jit(lambda p, pt, x: density_activation(
+        network.density(p, x, paired_table=pt)[:, 0]))
     vals = []
     for i in range(0, len(pts), chunk):
-        vals.append(np.asarray(dens_fn(params, jnp.asarray(pts[i:i + chunk]))))
+        vals.append(np.asarray(dens_fn(params, paired_tbl,
+                                       jnp.asarray(pts[i:i + chunk]))))
     field = np.concatenate(vals).reshape(resolution, resolution, resolution)
 
     sp = 1.0 / (resolution - 1)
@@ -184,14 +188,14 @@ def extract_nerf_mesh(
             np.add.at(vn, faces[:, k], fn)
         vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
         col_fn = jax.jit(
-            lambda p, x, d: jax.nn.sigmoid(
+            lambda p, pt, x, d: jax.nn.sigmoid(
                 network.forward(p, x, (d + 1) * 0.5,
-                                paired=True)[:, :3].astype(jnp.float32))
+                                paired_table=pt)[:, :3].astype(jnp.float32))
         )
         cols = []
         for i in range(0, len(verts), chunk):
             cols.append(np.asarray(col_fn(
-                params, jnp.asarray(verts[i:i + chunk]),
+                params, paired_tbl, jnp.asarray(verts[i:i + chunk]),
                 jnp.asarray(-vn[i:i + chunk]))))
         colors = np.concatenate(cols)
     # map unit coords to world aabb

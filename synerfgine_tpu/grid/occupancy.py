@@ -179,8 +179,14 @@ class OccupancyGrid:
         n_uniform: int,
         n_nonuniform: int,
         decay: float = DENSITY_GRID_DECAY,
+        axis_name: str | None = None,
     ) -> OccupancyGridState:
-        """One decay-max EMA update + bitfield/mip rebuild."""
+        """One decay-max EMA update + bitfield/mip rebuild.
+
+        axis_name: inside shard_map, each shard evaluates its own
+        n_uniform/n_nonuniform samples (caller divides the counts and
+        folds the axis index into `key`); the scatter-max splats are
+        combined across shards with pmax so the EMA sees the union."""
         G, C = self.G, self.n_cascades
         k_u, k_n = jax.random.split(key)
         mips, idxs, poss = [], [], []
@@ -216,6 +222,8 @@ class OccupancyGrid:
         tmp = jnp.zeros((C, G * G * G), jnp.float32)
         tmp = tmp.at[mip, idx].max(optical)
         tmp = tmp.reshape(C, G, G, G)
+        if axis_name is not None:
+            tmp = jax.lax.pmax(tmp, axis_name)
 
         d = state.density
         new_density = jnp.where(d < 0.0, d, jnp.maximum(d * decay, tmp))

@@ -85,8 +85,10 @@ class Engine:
         self.frame_idx = 0
         self._acc_rgba = None
         self._acc_cam = None
+        self._paired_tbl = jax.jit(
+            self.network.pos_encoding.make_paired_table)
         self._nerf_chunk = jax.jit(self._render_nerf_chunk,
-                                   static_argnums=(6,))
+                                   static_argnums=(7,))
         self.timings: dict[str, float] = {}
 
         # dynamic resolution (testbed.cu:2909-2971): scale the NeRF pass
@@ -126,8 +128,8 @@ class Engine:
         return np.array([base * zoom, base * zoom], np.float32)
 
     # ----------------------------------------------------------- NeRF pass
-    def _render_nerf_chunk(self, params, bitfield, uv, cm, focal, t_max,
-                           res):
+    def _render_nerf_chunk(self, params, paired_tbl, bitfield, uv, cm,
+                           focal, t_max, res):
         """NeRF render stopping at the synthetic depth (trace_alt).
         `res` is static so dynamic resolution retraces correctly."""
         rays = cam.uv_to_ray(uv, cm, res, focal)
@@ -142,7 +144,8 @@ class Engine:
         dirs_warped = (d_norm + 1.0) * 0.5
         comp_in = compact_samples(samples, dirs_warped, uv.shape[0] * 256)
         xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-        out = self.network.forward(params, xs_unit, comp_in.dirs, paired=True)
+        out = self.network.forward(params, xs_unit, comp_in.dirs,
+                                   paired_table=paired_tbl)
         dense = scatter_back(out, comp_in, uv.shape[0], samples.t.shape[1])
         comp = composite_rays(
             dense[..., :3], dense[..., 3], samples.dt, samples.t,
@@ -165,9 +168,11 @@ class Engine:
         uv_p = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
         t_p = jnp.concatenate([jnp.asarray(t_max_flat),
                                jnp.full((pad,), MAX_DEPTH)])
+        # aligned-pair table built once per frame, not per chunk
+        paired_tbl = self._paired_tbl(self.params.hash_table)
         for i in range(0, len(uv_p), chunk):
             rgb, a, dep, o, d = self._nerf_chunk(
-                self.params, self.grid_state.bitfield,
+                self.params, paired_tbl, self.grid_state.bitfield,
                 jnp.asarray(uv_p[i:i + chunk]), jnp.asarray(cm),
                 jnp.asarray(focal), t_p[i:i + chunk], (w, h))
             outs["rgb"].append(rgb); outs["alpha"].append(a)

@@ -99,9 +99,26 @@ class RayTracer:
         self._trace = jax.jit(self._trace_impl)
 
     # ------------------------------------------------------------ queries
+    def _intersect(self, o, d, world):
+        """(t, tri_idx): BVH traversal when the packed world carries node
+        arrays (> BRUTE_FORCE_MAX_TRIS, scene.pack_device), else the
+        dense (R, T) brute force — the reference always traverses its
+        per-object BVHs (ray_intersect_nodes, triangle_bvh.cu:264-319);
+        for the <= 4k-tri shipped scenes brute force is faster on TPU."""
+        if "bvh_lo" in world:
+            from ..geometry.bvh import bvh_traverse
+
+            nodes = {"lo": world["bvh_lo"], "hi": world["bvh_hi"],
+                     "left": world["bvh_left"], "right": world["bvh_right"],
+                     "first": world["bvh_first"], "count": world["bvh_count"],
+                     "tris": world["tris"]}
+            t, tri, _, _ = bvh_traverse(nodes, o, d)
+            return t, tri
+        t, tri, _, _ = ray_triangles_intersect(o, d, world["tris"])
+        return t, tri
+
     def _closest_hit(self, o, d, world):
-        t, tri, _, _ = ray_triangles_intersect(
-            o + d * MIN_DEPTH, d, world["tris"])
+        t, tri = self._intersect(o + d * MIN_DEPTH, d, world)
         hit = tri >= 0
         tri_safe = jnp.maximum(tri, 0)
         normals = triangle_normals(world["tris"])[tri_safe]
@@ -114,7 +131,7 @@ class RayTracer:
 
     def _occlusion_depth_world(self, o, d, world):
         """Distance to the nearest object hit (MAX_DEPTH if none)."""
-        t, tri, _, _ = ray_triangles_intersect(o + d * MIN_DEPTH, d, world["tris"])
+        t, tri = self._intersect(o + d * MIN_DEPTH, d, world)
         return jnp.where(tri >= 0, t, MAX_DEPTH)
 
     def nerf_occlusion_depth(self, o, d, bitfield, full_d):

@@ -260,10 +260,34 @@ class Scene:
 
         mats = self.materials or [Material(0, [1.0, 1.0, 1.0])]
         lights = self.lights or [Light(0, [0.5, 2.0, 0.5])]
+
+        # Above the brute-force threshold, attach a BVH over the world
+        # triangles (reference: per-object TriangleBvh consumed by
+        # ray_intersect_nodes, triangle_bvh.cu:264-319). Triangles and
+        # per-triangle tables are REORDERED to the BVH leaf order so hit
+        # indices stay consistent. Node arrays travel in the world dict —
+        # jit arguments, not captured constants.
+        bvh_nodes = {}
+        from ..geometry.bvh import BRUTE_FORCE_MAX_TRIS, TriangleBvh
+
+        if len(tris) > BRUTE_FORCE_MAX_TRIS:
+            bvh = TriangleBvh(tris)
+            order = np.asarray(bvh.order)
+            tris = np.asarray(tris)[order]
+            mat_of_tri = np.asarray(mat_of_tri)[order]
+            obj_of_tri = np.asarray(obj_of_tri)[order]
+            na = bvh.node_arrays()
+            bvh_nodes = {
+                "bvh_lo": na["lo"], "bvh_hi": na["hi"],
+                "bvh_left": na["left"], "bvh_right": na["right"],
+                "bvh_first": na["first"], "bvh_count": na["count"],
+            }
+
         return {
             "tris": jnp.asarray(tris),
             "tri_mat": jnp.asarray(mat_of_tri),
             "tri_obj": jnp.asarray(obj_of_tri),
+            **bvh_nodes,
             "mat_type": jnp.asarray([m.type for m in mats], jnp.int32),
             "mat_ka": jnp.asarray(np.stack([m.ka for m in mats])),
             "mat_kd": jnp.asarray(np.stack([m.kd for m in mats])),

@@ -203,13 +203,16 @@ class HashEncoding:
     def make_paired_table(self, table: jnp.ndarray) -> jnp.ndarray:
         """(n_params, F) -> (n_params, 2F); row i holds entries i and
         i+1, wrapped within i's level. Sequential HBM traffic — cheap to
-        rebuild per training dispatch."""
-        parts = []
+        rebuild per training dispatch.
+
+        Built as ONE whole-table roll + 8 single-row boundary fixups
+        (each level's last row wraps to its own first row, not the next
+        level's). The earlier per-level roll+concat materialized ~2x the
+        traffic in 2L kernels and cost 33 ms/step on chip."""
+        rolled = jnp.roll(table, -1, axis=0)
         for off, size in zip(self.level_offsets, self.level_sizes):
-            lvl = table[off:off + size]
-            parts.append(
-                jnp.concatenate([lvl, jnp.roll(lvl, -1, axis=0)], axis=1))
-        return jnp.concatenate(parts, axis=0)
+            rolled = rolled.at[off + size - 1].set(table[off])
+        return jnp.concatenate([table, rolled], axis=1)
 
     def _level_pair_indices(self, x: jnp.ndarray, level: int):
         """Pair-row indices for one level: (rows (N, 2^(D-1)) int32 into

@@ -86,23 +86,28 @@ class NerfNetwork:
     def density(self, params: NerfParams, x: jnp.ndarray,
                 level_mask: jnp.ndarray | None = None,
                 grad_u: jnp.ndarray | None = None,
-                paired: bool = False) -> jnp.ndarray:
+                paired: bool = False,
+                paired_table: jnp.ndarray | None = None) -> jnp.ndarray:
         """x: (N, 3) in [0,1]^3 (warped). Returns raw density-MLP output (N, 16).
 
         grad_u: optional (n_levels, N) uniforms switching the hash-table
         backward to the fast stochastic-corner scatter (training path).
         paired: use the aligned-pair hash gather (half the HBM
         transactions) — for no-grad paths only (its autodiff would
-        scatter into the double-width table and drop d/dx)."""
+        scatter into the double-width table and drop d/dx).
+        paired_table: precomputed `make_paired_table(params.hash_table)`.
+        Callers that evaluate many chunks per parameter state (renderer,
+        grid update) MUST prebuild it once — rebuilding per chunk costs
+        ~33 ms each on chip."""
         if grad_u is not None:
             feats = stochastic_encode(
                 self.pos_encoding, params.hash_table, x, grad_u
             ).astype(jnp.bfloat16)
-        elif paired:
+        elif paired or paired_table is not None:
             enc = self.pos_encoding
-            feats = enc.paired_encode(
-                enc.make_paired_table(params.hash_table), x, level_mask,
-                jnp.bfloat16)
+            pt = (paired_table if paired_table is not None
+                  else enc.make_paired_table(params.hash_table))
+            feats = enc.paired_encode(pt, x, level_mask, jnp.bfloat16)
         else:
             feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
         return self._apply_mlp(self.density_mlp, params.density_mlp, feats)
@@ -123,13 +128,14 @@ class NerfNetwork:
         level_mask: jnp.ndarray | None = None,
         grad_u: jnp.ndarray | None = None,
         paired: bool = False,
+        paired_table: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """Full forward. Returns (N, 4): raw rgb (3) + raw density (1).
 
         Mirrors `inference_mixed_precision`'s output layout, which appends
         the raw density as channel 4 (nerf_network.h:105-139).
         """
-        h = self.density(params, x, level_mask, grad_u, paired)
+        h = self.density(params, x, level_mask, grad_u, paired, paired_table)
         sh = sh_encode(dir_warped, self.sh_degree).astype(h.dtype)
         parts = [h, sh]
         if self.n_extra_dims > 0:

@@ -31,12 +31,20 @@ def init_error_map(n_images: int, res: int = ERROR_MAP_RES) -> jnp.ndarray:
 
 def deposit(error_map: jnp.ndarray, img_idx: jnp.ndarray, uv: jnp.ndarray,
             loss_per_ray: jnp.ndarray,
-            decay: float = ERROR_MAP_DECAY) -> jnp.ndarray:
-    """EMA-decay the map and splat this batch's per-ray losses."""
+            decay: float = ERROR_MAP_DECAY,
+            axis_name: str | None = None) -> jnp.ndarray:
+    """EMA-decay the map and splat this batch's per-ray losses.
+
+    axis_name: inside shard_map, every shard deposits its own rays and
+    the deltas are psum'ed so the (replicated) map stays identical on all
+    devices."""
     n, res = error_map.shape[0], error_map.shape[1]
     x = jnp.minimum((uv[:, 0] * res).astype(jnp.int32), res - 1)
     y = jnp.minimum((uv[:, 1] * res).astype(jnp.int32), res - 1)
-    return (error_map * decay).at[img_idx, y, x].add(loss_per_ray)
+    delta = jnp.zeros_like(error_map).at[img_idx, y, x].add(loss_per_ray)
+    if axis_name is not None:
+        delta = jax.lax.psum(delta, axis_name)
+    return error_map * decay + delta
 
 
 def sample_uv(key: jax.Array, error_map: jnp.ndarray,

@@ -155,6 +155,9 @@ class NerfTrainer:
         linear_colors: bool = False,
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
+        remat: bool = False,
+        spmd_axis: str | None = None,
+        n_shards: int = 1,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -183,6 +186,18 @@ class NerfTrainer:
         # train_in_linear_colors (testbed_nerf.cu:1125-1131): compare the
         # composite in linear space; LDR targets are linearized per batch
         self.linear_colors = linear_colors
+        self.remat = remat
+        # SPMD data parallelism (SURVEY.md §2.4 "first-class" row): when
+        # spmd_axis is set, the SAME step functions below run per-shard
+        # inside shard_map — rays/batch divided by n_shards, gradients
+        # pmean'ed, sample counters psum'ed, grid splats pmax'ed, error-
+        # map deposits psum'ed. n_rays/batch_size remain the GLOBAL sizes
+        # so the host loop (adaptive rays, cadence) is shard-agnostic.
+        self.spmd_axis = spmd_axis
+        self.n_shards = n_shards if spmd_axis else 1
+        if self.n_shards > 1:
+            if n_rays % self.n_shards or batch_size % self.n_shards:
+                raise ValueError("n_rays and batch_size must divide n_shards")
         # steps fused per device dispatch; defaults to the grid cadence.
         # Shorter blocks keep single executions under the remote relay's
         # sustained-execution tolerance.
@@ -204,7 +219,17 @@ class NerfTrainer:
         self.resolution = dataset.resolution               # (W, H)
         self.focal = jnp.asarray(dataset.focal_length)
         self.pp = jnp.asarray(dataset.principal_point)
+        # dataset lens model (OpenCV k1k2p1p2 / fisheye / ...): applied in
+        # every ray-generation site (reference uv_to_ray Lens path,
+        # common_device.cuh:403-455)
+        self.lens = getattr(dataset, "lens", None)
         self.data = {"images": self.images, "xforms": self.xforms}
+        # per-image intrinsics (TrainingImageMetadata parity): only
+        # threaded through when the dataset actually carries overrides
+        if getattr(dataset, "focals", None) is not None:
+            self.data["focals"] = jnp.asarray(dataset.focals)   # (N, 2)
+        if getattr(dataset, "pps", None) is not None:
+            self.data["pps"] = jnp.asarray(dataset.pps)         # (N, 2)
         if getattr(dataset, "depths", None) is not None:
             self.data["depths"] = jnp.asarray(dataset.depths)  # (N, H, W)
         # sharpness-weighted error (nerf_loader.h sharpness_data): per-ray
@@ -300,8 +325,10 @@ class NerfTrainer:
             from ..nn.envmap import apply_distortion
 
             uv = apply_distortion(distortion, uv)
+        fl = data["focals"][img_idx] if "focals" in data else self.focal
+        pp = data["pps"][img_idx] if "pps" in data else self.pp
         rays = cam.uv_to_ray_batched(
-            uv, cams, self.resolution, self.focal, self.pp
+            uv, cams, self.resolution, fl, pp, lens=self.lens
         )
         d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
         return Ray(rays.o, d_norm)
@@ -362,10 +389,13 @@ class NerfTrainer:
                 return envmap_background(p.envmap, rays.d, bg0)
             return bg0
 
-        net_apply = jax.checkpoint(
-            lambda p, x, d, u=None, e=None: self.network.forward(
-                p, x, d, extra=e, grad_u=u)
-        )
+        # remat=False (default): saving the forward residuals costs ~200MB
+        # of HBM per step but skips re-running the hash gather (the single
+        # most expensive op, ~96 ms at 2^18) inside the backward. remat=True
+        # restores the round-1 memory-light behavior for small-HBM configs.
+        net_fn = (lambda p, x, d, u=None, e=None:
+                  self.network.forward(p, x, d, extra=e, grad_u=u))
+        net_apply = jax.checkpoint(net_fn) if self.remat else net_fn
 
         if self.use_grid:
             samples = march_rays_grid(
@@ -515,22 +545,37 @@ class NerfTrainer:
     def _train_step(self, state: NerfTrainState, n_rays: int | None = None,
                     data=None):
         key, k_step = jax.random.split(state.key)
+        n_rays = n_rays or self.n_rays
+        batch_size = self.batch_size
+        ax = self.spmd_axis
+        if self.n_shards > 1:
+            # per-shard slice of the global batch; disjoint RNG streams
+            k_step = jax.random.fold_in(k_step, jax.lax.axis_index(ax))
+            n_rays = n_rays // self.n_shards
+            batch_size = batch_size // self.n_shards
         emap = state.error_map
         if state.cam_opt is not None:
             loss, grads, g_cam, n_samples = self.loss_and_grads_camopt(
                 state.params, state.cam_opt.params, state.grid.bitfield,
-                k_step, n_rays=n_rays, data=data)
+                k_step, n_rays=n_rays, batch_size=batch_size, data=data)
+            if self.n_shards > 1:
+                g_cam = jax.lax.pmean(g_cam, ax)
             cam_opt = camera_opt_update(state.cam_opt, g_cam)
         else:
             loss, grads, n_samples, aux = self.loss_and_grads(
                 state.params, state.grid.bitfield, k_step, n_rays=n_rays,
-                error_map=emap, data=data,
+                batch_size=batch_size, error_map=emap, data=data,
             )
             cam_opt = None
             if emap is not None:
                 from .error_map import deposit
 
-                emap = deposit(emap, *aux)
+                emap = deposit(emap, *aux, axis_name=ax)
+        if self.n_shards > 1:
+            # XLA overlaps these all-reduces with the backward pass
+            loss = jax.lax.pmean(loss, ax)
+            grads = jax.lax.pmean(grads, ax)
+            n_samples = jax.lax.psum(n_samples, ax)
         params, opt_state = self.opt.update(grads, state.opt_state, state.params)
         return (NerfTrainState(params, opt_state, state.grid, key, cam_opt,
                                emap),
@@ -539,14 +584,26 @@ class NerfTrainer:
     def _grid_update_fn(self, state: NerfTrainState, full_sweep: bool):
         M = self.grid.n_cascades * self.grid.G**3
         key, k_grid = jax.random.split(state.key)
-        density_fn = lambda xs: self.network.density(state.params, xs,
-                                                     paired=True)[:, 0]
+        # build the aligned-pair table ONCE for the whole update — the
+        # density_fn runs inside a chunked lax.map, and rebuilding the
+        # 94 MB table per chunk cost ~33 ms x n_chunks on chip
+        pt = self.network.pos_encoding.make_paired_table(
+            state.params.hash_table)
+        density_fn = lambda xs: self.network.density(
+            state.params, xs, paired_table=pt)[:, 0]
         if full_sweep:
             n_uniform, n_nonuniform = M, 0
         else:
             n_uniform = n_nonuniform = M // 4
+        if self.n_shards > 1:
+            # each shard probes its own slice of cells; pmax combines
+            k_grid = jax.random.fold_in(
+                k_grid, jax.lax.axis_index(self.spmd_axis))
+            n_uniform //= self.n_shards
+            n_nonuniform //= self.n_shards
         gstate = self.grid.update(
-            state.grid, density_fn, self.aabb, k_grid, n_uniform, n_nonuniform
+            state.grid, density_fn, self.aabb, k_grid, n_uniform,
+            n_nonuniform, axis_name=self.spmd_axis,
         )
         return state._replace(grid=gstate, key=key)
 
@@ -684,6 +741,11 @@ class NerfTrainer:
           reference's render_aabb_to_local)."""
         w = width or self.resolution[0]
         h = height or self.resolution[1]
+        # focal is stored in dataset pixels; rendering at another
+        # resolution keeps the FOV by scaling it (the reference stores a
+        # relative focal length and multiplies by the render resolution)
+        focal_render = jnp.asarray(self.focal, jnp.float32) * jnp.asarray(
+            [w / self.resolution[0], h / self.resolution[1]], jnp.float32)
         use_grid = grid_state is not None
         n_steps = n_steps or (self.n_march_steps if use_grid else 2 * self.n_steps_per_ray)
         cm = jnp.asarray(camera_matrix, jnp.float32)
@@ -713,7 +775,7 @@ class NerfTrainer:
             return render_aabb.contains(local)
 
         @jax.jit
-        def render_chunk(p, gbits, uv, key):
+        def render_chunk(p, pt, gbits, uv, key):
             R = uv.shape[0]
             acc = None
             for s in range(spp):
@@ -723,9 +785,10 @@ class NerfTrainer:
                     uv_s = uv + (jax.random.uniform(k_uv, uv.shape) - 0.5) / jnp.asarray([w, h])
                 ap_uv = (jax.random.uniform(k_ap, (R, 2))
                          if aperture_size > 0 else None)
-                rays = cam.uv_to_ray(uv_s, cm, (w, h), self.focal, self.pp,
+                rays = cam.uv_to_ray(uv_s, cm, (w, h), focal_render, self.pp,
                                      aperture_size=aperture_size,
-                                     focus_z=focus_z, aperture_uv=ap_uv)
+                                     focus_z=focus_z, aperture_uv=ap_uv,
+                                     lens=self.lens)
                 d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
                 rays = Ray(rays.o, d_norm)
                 dirs_warped = (d_norm + 1.0) * 0.5
@@ -745,7 +808,7 @@ class NerfTrainer:
                                               chunk * 512)
                     xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
                     out = self.network.forward(p, xs_unit, comp_in.dirs,
-                                               paired=True)
+                                               paired_table=pt)
                     dense = scatter_back(out, comp_in, R, n_steps)
                     comp = composite_rays(
                         dense[..., :3], dense[..., 3], samples.dt, samples.t,
@@ -761,7 +824,7 @@ class NerfTrainer:
                     out = self.network.forward(
                         p, xs_unit.reshape(R * n_steps, 3),
                         jnp.repeat(dirs_warped, n_steps, axis=0),
-                        paired=True,
+                        paired_table=pt,
                     ).reshape(R, n_steps, 4)
                     comp = composite_rays(
                         out[..., :3], out[..., 3], samples.dt, samples.t,
@@ -776,7 +839,8 @@ class NerfTrainer:
                     p_sl = rays.o + rays.d * jnp.float32(slice_plane_z)
                     inside = march_aabb.contains(p_sl)
                     xs_sl = jnp.clip(self.aabb.relative_pos(p_sl), 0.0, 1.0)
-                    sigma = self.network.density(p, xs_sl, paired=True)[:, 0]
+                    sigma = self.network.density(
+                        p, xs_sl, paired_table=pt)[:, 0]
                     a = 1.0 - jnp.exp(-sigma * jnp.float32(
                         np.sqrt(3.0) / 1024.0))
                     a = jnp.where(inside, a, 0.0)
@@ -820,9 +884,11 @@ class NerfTrainer:
                         e = jnp.zeros(3).at[ax].set(eps)
                         g.append(
                             self.network.density(
-                                p, jnp.clip(xs_t + e, 0, 1), paired=True)[:, 0]
+                                p, jnp.clip(xs_t + e, 0, 1),
+                                paired_table=pt)[:, 0]
                             - self.network.density(
-                                p, jnp.clip(xs_t - e, 0, 1), paired=True)[:, 0])
+                                p, jnp.clip(xs_t - e, 0, 1),
+                                paired_table=pt)[:, 0])
                     n_vec = -jnp.stack(g, -1).astype(jnp.float32)
                     n_vec = n_vec / jnp.maximum(
                         jnp.linalg.norm(n_vec, axis=-1, keepdims=True), 1e-9)
@@ -846,13 +912,16 @@ class NerfTrainer:
             return tuple(a / spp for a in acc)
 
         gbits = grid_state.bitfield if use_grid else None
+        # aligned-pair table built once per frame, not per chunk
+        paired_tbl = jax.jit(self.network.pos_encoding.make_paired_table)(
+            params.hash_table)
         rgbs, alphas, depths = [], [], []
         n_px = uv_all.shape[0]
         pad = (-n_px) % chunk
         uv_pad = np.concatenate([uv_all, np.zeros((pad, 2), np.float32)])
         for i in range(0, uv_pad.shape[0], chunk):
             uv = jnp.asarray(uv_pad[i : i + chunk])
-            r, a, d = render_chunk(params, gbits, uv,
+            r, a, d = render_chunk(params, paired_tbl, gbits, uv,
                                    jax.random.PRNGKey(seed + i))
             rgbs.append(np.asarray(r))
             alphas.append(np.asarray(a))
