@@ -92,7 +92,15 @@ class Testbed:
         elif self.mode == "volume":
             from .train.volume_trainer import VolumeModel, VolumeTrainer
 
-            vol = np.load(path) if str(path).endswith(".npy") else path
+            if str(path).endswith(".npy"):
+                vol = np.load(path)
+            elif str(path).endswith(".nvdb"):
+                # NanoVDB ingestion (testbed_volume.cu:572 load_volume)
+                from .data.nvdb import read_nvdb
+
+                vol, _info = read_nvdb(str(path))
+            else:
+                vol = path
             self.trainer = VolumeTrainer(VolumeModel(self._network_config()), vol)
             self.state = self.trainer.init(jax.random.PRNGKey(self.seed))
             self._generic_step = 0

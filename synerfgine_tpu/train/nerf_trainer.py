@@ -722,6 +722,7 @@ class NerfTrainer:
         overlay_image=None,
         overlay_alpha: float = 1.0,
         error_map_view=None,
+        mesh=None,
     ) -> dict:
         """Render a full frame (sRGB rgb + alpha + depth), chunked over
         pixel blocks. Uses the grid marcher when grid_state given.
@@ -738,7 +739,13 @@ class NerfTrainer:
           distortion false-colors the trained lens-distortion field;
         - render_aabb crops rendering to a sub-box; render_aabb_to_local
           (3,3) rotates the crop about its center (parity with the
-          reference's render_aabb_to_local)."""
+          reference's render_aabb_to_local);
+        - mesh: a jax.sharding.Mesh fans the pixel chunks out over its
+          devices (the reference's multi-GPU render path,
+          testbed.cu:5097-5132, rebuilt as shard_map over pixel chunks:
+          params/bitfield replicated, chunk axis sharded). Per-chunk RNG
+          seeds match the serial path exactly, so the sharded frame is
+          bit-identical to the single-device frame."""
         w = width or self.resolution[0]
         h = height or self.resolution[1]
         # focal is stored in dataset pixels; rendering at another
@@ -774,8 +781,7 @@ class NerfTrainer:
                                xs - center) + center
             return render_aabb.contains(local)
 
-        @jax.jit
-        def render_chunk(p, pt, gbits, uv, key):
+        def render_chunk_impl(p, pt, gbits, uv, key):
             R = uv.shape[0]
             acc = None
             for s in range(spp):
@@ -915,8 +921,48 @@ class NerfTrainer:
         # aligned-pair table built once per frame, not per chunk
         paired_tbl = jax.jit(self.network.pos_encoding.make_paired_table)(
             params.hash_table)
-        rgbs, alphas, depths = [], [], []
         n_px = uv_all.shape[0]
+        if mesh is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = mesh.devices.size
+            n_chunks = -(-n_px // chunk)
+            n_chunks = -(-n_chunks // n_dev) * n_dev   # multiple of mesh
+            pad = n_chunks * chunk - n_px
+            uv_pad = np.concatenate(
+                [uv_all, np.zeros((pad, 2), np.float32)])
+            uv_chunks = jnp.asarray(uv_pad.reshape(n_chunks, chunk, 2))
+            # byte-offset seeds identical to the serial loop below
+            seeds = jnp.arange(n_chunks, dtype=jnp.uint32) * chunk + seed
+
+            def dev_body(p, pt, gb, uvs, sds):
+                def one(args):
+                    uv_c, sd = args
+                    return render_chunk_impl(
+                        p, pt, gb, uv_c, jax.random.PRNGKey(sd))
+
+                return jax.lax.map(one, (uvs, sds))
+
+            spec_in = (P(), P(), P(), P("data"), P("data"))
+            fan = jax.jit(shard_map(
+                dev_body, mesh=mesh, in_specs=spec_in,
+                out_specs=(P("data"), P("data"), P("data")),
+                check_rep=False))
+            if gbits is None:
+                gbits_arg = jnp.zeros((), jnp.float32)  # placeholder leaf
+            else:
+                gbits_arg = gbits
+            r, a, d = fan(params, paired_tbl, gbits_arg, uv_chunks, seeds)
+            rgb = np.asarray(r).reshape(-1, 3)[:n_px].reshape(h, w, 3)
+            alpha = np.asarray(a).reshape(-1)[:n_px].reshape(h, w)
+            depth = np.asarray(d).reshape(-1)[:n_px].reshape(h, w)
+            if overlay:
+                rgb = apply_overlay(rgb, overlay, overlay_image,
+                                    overlay_alpha, error_map_view)
+            return {"rgb": rgb, "alpha": alpha, "depth": depth}
+        render_chunk = jax.jit(render_chunk_impl)
+        rgbs, alphas, depths = [], [], []
         pad = (-n_px) % chunk
         uv_pad = np.concatenate([uv_all, np.zeros((pad, 2), np.float32)])
         for i in range(0, uv_pad.shape[0], chunk):

@@ -118,3 +118,29 @@ def test_sharded_loss_trajectory_parity(lego_dir):
     assert np.mean(l8[-10:]) < 0.7 * np.mean(l8[:5])
     ratio = np.mean(l8[-10:]) / np.mean(l1[-10:])
     assert 0.5 < ratio < 2.0, ratio
+
+
+def test_multi_device_render_bitexact(lego_dir):
+    """Sharded render fan-out == single-device render bit-for-bit
+    (reference capability testbed.cu:5097-5132; per-chunk seeds match)."""
+    ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=64, n_march_steps=64, batch_size=1024,
+                     use_grid=True, grid_warmup_steps=1,
+                     grid_update_cadence=4)
+    state = tr.init(jax.random.PRNGKey(0))
+    state, _ = tr.step(state)
+    mesh = make_mesh(8)
+    kw = dict(width=24, height=16, grid_state=state.grid, n_steps=32,
+              chunk=64, spp=2, seed=3)
+    out1 = tr.render_image(state.params, ds.xforms[0], **kw)
+    out8 = tr.render_image(state.params, ds.xforms[0], mesh=mesh, **kw)
+    np.testing.assert_array_equal(out1["rgb"], out8["rgb"])
+    np.testing.assert_array_equal(out1["depth"], out8["depth"])
+    np.testing.assert_array_equal(out1["alpha"], out8["alpha"])
+    # no-grid path too
+    out1f = tr.render_image(state.params, ds.xforms[0], width=16, height=8,
+                            n_steps=16, chunk=32)
+    out8f = tr.render_image(state.params, ds.xforms[0], width=16, height=8,
+                            n_steps=16, chunk=32, mesh=mesh)
+    np.testing.assert_array_equal(out1f["rgb"], out8f["rgb"])
