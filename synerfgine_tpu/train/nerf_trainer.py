@@ -275,7 +275,9 @@ class NerfTrainer:
             )
             # Before the first density update, every *visible* cell counts as
             # occupied so the first training steps can march everywhere.
-            gstate = gstate._replace(bitfield=gstate.density >= 0.0)
+            bits = gstate.density >= 0.0
+            gstate = gstate._replace(
+                bitfield=bits, coarse=self.grid.make_coarse(bits))
         # distortion training shares the "rays rebuilt inside the loss"
         # pathway, so it rides the camera-opt state (zero-grad pose).
         cam_opt = (init_camera_opt(int(self.images.shape[0]))
@@ -340,12 +342,19 @@ class NerfTrainer:
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
                        n_rays: int | None = None, batch_size: int | None = None,
-                       error_map=None, data=None):
+                       error_map=None, data=None, coarse=None):
         """Pure core of one training step: sample rays -> march -> loss ->
         grads. Shared by the single-chip jit and the shard_map data-parallel
         path (dist/sharded.py), which calls it per-shard and psums the
         result. Returns (loss, grads, n_samples, aux) with aux =
-        (img_idx, uv, per_ray_loss) for the error-map deposit."""
+        (img_idx, uv, per_ray_loss) for the error-map deposit.
+
+        bitfield: the occupancy bitfield, or an OccupancyGridState (in
+        which case the hierarchical coarse/fine march is used when
+        segment compaction is on)."""
+        if hasattr(bitfield, "bitfield"):
+            coarse = bitfield.coarse if coarse is None else coarse
+            bitfield = bitfield.bitfield
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
         data = data if data is not None else self.data
@@ -398,15 +407,24 @@ class NerfTrainer:
         net_apply = jax.checkpoint(net_fn) if self.remat else net_fn
 
         if self.use_grid:
-            samples = march_rays_grid(
-                rays, self.aabb, self.grid, bitfield,
-                self.n_march_steps, self.cone_angle, k_march,
-            )
-            if self.segment_compaction:
-                comp_in = compact_samples_segmented(
-                    samples, dirs_warped, batch_size)
+            if self.segment_compaction and coarse is not None:
+                from ..march.dda import march_compact_hier
+
+                samples, comp_in = march_compact_hier(
+                    rays, self.aabb, self.grid, bitfield, coarse,
+                    self.n_march_steps, self.cone_angle, k_march,
+                    dirs_warped, batch_size)
             else:
-                comp_in = compact_samples(samples, dirs_warped, batch_size)
+                samples = march_rays_grid(
+                    rays, self.aabb, self.grid, bitfield,
+                    self.n_march_steps, self.cone_angle, k_march,
+                )
+                if self.segment_compaction:
+                    comp_in = compact_samples_segmented(
+                        samples, dirs_warped, batch_size)
+                else:
+                    comp_in = compact_samples(samples, dirs_warped,
+                                              batch_size)
             K = self.n_march_steps
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(
@@ -563,7 +581,7 @@ class NerfTrainer:
             cam_opt = camera_opt_update(state.cam_opt, g_cam)
         else:
             loss, grads, n_samples, aux = self.loss_and_grads(
-                state.params, state.grid.bitfield, k_step, n_rays=n_rays,
+                state.params, state.grid, k_step, n_rays=n_rays,
                 batch_size=batch_size, error_map=emap, data=data,
             )
             cam_opt = None
