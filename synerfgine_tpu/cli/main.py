@@ -99,6 +99,16 @@ def cmd_train(args):
             include_optimizer=args.snapshot_optimizer,
         )
 
+    if getattr(args, "profile", None):
+        # committed-trace workflow (SURVEY.md 5.1): one warm block under
+        # jax.profiler; view with tensorboard or perfetto
+        import jax.profiler
+
+        state, _ = trainer.train(state, trainer.scan_block_steps)  # compile
+        with jax.profiler.trace(args.profile):
+            state, _ = trainer.train(state, trainer.scan_block_steps)
+        print(f"profiler trace written to {args.profile}")
+
     t0 = time.time()
     log_every = max(1, args.n_steps // 20)
     done = 0
@@ -291,6 +301,10 @@ def cmd_mask_images(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="synerfgine-tpu")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) — the env's "
+                        "sitecustomize overrides JAX_PLATFORMS, so this "
+                        "flag is the reliable way to run CPU-only")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
@@ -326,6 +340,9 @@ def main(argv=None):
                     help="use the Pallas fused-MLP kernels (VMEM-resident)")
     sp.add_argument("--sharpness-weighted", action="store_true",
                     help="scale per-ray loss by image-sharpness weights")
+    sp.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of one scan block "
+                         "to this directory before training")
     sp.add_argument("--depth-lambda", type=float, default=0.0,
                     help="depth-supervision weight")
     sp.set_defaults(fn=cmd_train)
@@ -391,6 +408,10 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_mask_images)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     return args.fn(args)
 
 
