@@ -160,6 +160,26 @@ def pos_to_uv(
     return jnp.stack([u, v], axis=-1)
 
 
+def rolling_shutter_xform(start: jnp.ndarray, end: jnp.ndarray,
+                          uv: jnp.ndarray, rolling_shutter,
+                          motion_t) -> jnp.ndarray:
+    """Per-ray pose between a frame's start/end transforms
+    (common_device.cuh:363-371 get_xform_given_rolling_shutter):
+    pixel_t = rs.x + rs.y*u + rs.z*v + rs.w*motion_t; the position lerps
+    and the rotation slerps to pixel_t. start/end: (..., 3, 4);
+    uv (..., 2); motion_t scalar or (...,)."""
+    from . import se3
+
+    rs = jnp.asarray(rolling_shutter, jnp.float32)
+    pixel_t = rs[0] + rs[1] * uv[..., 0] + rs[2] * uv[..., 1] \
+        + rs[3] * motion_t
+    pos = start[..., 3] + (end[..., 3] - start[..., 3]) * pixel_t[..., None]
+    q0 = se3.matrix_to_quat(start[..., :3])
+    q1 = se3.matrix_to_quat(end[..., :3])
+    rot = se3.quat_to_matrix(se3.quat_slerp(q0, q1, pixel_t))
+    return jnp.concatenate([rot, pos[..., None]], axis=-1)
+
+
 def pixel_grid_uv(width: int, height: int, snap_to_center: bool = True) -> jnp.ndarray:
     """uv coordinates for every pixel, (H, W, 2), pixel centers by default."""
     off = 0.5 if snap_to_center else 0.0

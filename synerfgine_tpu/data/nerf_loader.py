@@ -56,6 +56,11 @@ class NerfDataset:
     lens: Lens = dataclasses.field(default_factory=Lens)
     focals: np.ndarray | None = None      # (N, 2) per-image focal override
     pps: np.ndarray | None = None         # (N, 2) per-image principal point
+    # rolling shutter / motion blur (TrainingXForm start/end + vec4
+    # rolling_shutter, nerf_loader.cu:204-215, common_device.cuh:363):
+    xforms_end: np.ndarray | None = None  # (N, 3, 4); None = static frames
+    rolling_shutter: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(4, np.float32))
     depths: np.ndarray | None = None      # (N, H, W) metric depth, 0 = none
     masks: np.ndarray | None = None       # (N, H, W) in [0,1], 1 = excluded
     paths: list = dataclasses.field(default_factory=list)
@@ -92,6 +97,8 @@ class NerfDataset:
             xforms=self.xforms[indices],
             focals=self.focals[indices] if self.focals is not None else None,
             pps=self.pps[indices] if self.pps is not None else None,
+            xforms_end=(self.xforms_end[indices]
+                        if self.xforms_end is not None else None),
             masks=self.masks[indices] if self.masks is not None else None,
             depths=self.depths[indices] if self.depths is not None else None,
             paths=[self.paths[i] for i in np.atleast_1d(indices)] if self.paths else [],
@@ -165,7 +172,12 @@ def load_nerf_dataset(
             arr = np.stack([arr] * 3, -1)
         if arr.shape[-1] == 3:
             arr = np.concatenate([arr, np.full_like(arr[..., :1], 255)], -1)
-        m = np.asarray(fr["transform_matrix"], np.float32)
+        raw_start = fr.get("transform_matrix_start",
+                           fr.get("transform_matrix"))
+        m_start = np.asarray(raw_start, np.float32)
+        m_end = np.asarray(fr.get("transform_matrix_end", raw_start),
+                           np.float32)
+        m = m_start
         # dynamic_mask_<stem>.png convention (reference nerf_loader mask
         # handling / scripts/mask_images.py): 1 = excluded from training
         from .masks import load_mask
@@ -178,7 +190,8 @@ def load_nerf_dataset(
         depth = _load_depth(base, fr, depth_scale,
                             (arr.shape[1], arr.shape[0]))
         return (arr.astype(np.uint8), nerf_matrix_to_ngp(m, scale, offset),
-                str(p), mask, depth, (native_w, native_h), fr)
+                str(p), mask, depth, (native_w, native_h), fr,
+                nerf_matrix_to_ngp(m_end, scale, offset))
 
     # parallel decode (the reference loads images on a thread pool too,
     # N25 thread_pool.cpp / nerf_loader.cu async loading)
@@ -191,6 +204,7 @@ def load_nerf_dataset(
     raw_depths = [r[4] for r in results]
     native_sizes = [r[5] for r in results]
     kept_frames = [r[6] for r in results]
+    xforms_end = [r[7] for r in results]
 
     # unify mixed resolutions to the first frame's (static-shape tensor;
     # intrinsics of resized frames are scaled below via per-image focals)
@@ -286,6 +300,14 @@ def load_nerf_dataset(
         lens=lens_from_transforms(meta),
         focals=focals,
         pps=pps,
+        xforms_end=(np.stack(xforms_end).astype(np.float32)
+                    if any("transform_matrix_start" in fr
+                           or "transform_matrix_end" in fr
+                           for fr in kept_frames) else None),
+        rolling_shutter=np.asarray(
+            (list(meta.get("rolling_shutter", [0, 0, 0])) + [0.0])[:4]
+            if len(meta.get("rolling_shutter", [0, 0, 0])) < 4
+            else meta["rolling_shutter"][:4], np.float32),
         depths=depths,
         masks=masks,
         paths=paths,

@@ -230,6 +230,11 @@ class NerfTrainer:
             self.data["focals"] = jnp.asarray(dataset.focals)   # (N, 2)
         if getattr(dataset, "pps", None) is not None:
             self.data["pps"] = jnp.asarray(dataset.pps)         # (N, 2)
+        # rolling-shutter / motion-blur frames (TrainingXForm start/end)
+        self.rolling_shutter = jnp.asarray(
+            getattr(dataset, "rolling_shutter", np.zeros(4)), jnp.float32)
+        if getattr(dataset, "xforms_end", None) is not None:
+            self.data["xforms_end"] = jnp.asarray(dataset.xforms_end)
         if getattr(dataset, "depths", None) is not None:
             self.data["depths"] = jnp.asarray(dataset.depths)  # (N, H, W)
         # sharpness-weighted error (nerf_loader.h sharpness_data): per-ray
@@ -319,10 +324,20 @@ class NerfTrainer:
 
     def _rays_for(self, data, img_idx, uv,
                   cam_params: CameraOptParams | None = None,
-                  distortion=None):
+                  distortion=None, k_motion=None):
         xf = data["xforms"]
         cams = (apply_camera_opt(xf, cam_params, img_idx)
                 if cam_params is not None else xf[img_idx])
+        if "xforms_end" in data:
+            # rolling shutter / motion blur: per-ray pose slerped between
+            # the frame's start/end transforms (common_device.cuh:363);
+            # motionblur_time is a per-ray uniform like the reference's
+            # random_val (testbed_nerf.cu:885)
+            motion_t = (jax.random.uniform(k_motion, uv.shape[:1])
+                        if k_motion is not None else 0.0)
+            cams = cam.rolling_shutter_xform(
+                cams, data["xforms_end"][img_idx], uv,
+                self.rolling_shutter, motion_t)
         if distortion is not None:
             from ..nn.envmap import apply_distortion
 
@@ -358,10 +373,10 @@ class NerfTrainer:
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
         data = data if data is not None else self.data
-        k_rays, k_march, k_bg, k_u = jax.random.split(key, 4)
+        k_rays, k_march, k_bg, k_u, k_motion = jax.random.split(key, 5)
         img_idx, uv, texel, depth_gt = self._sample_pixels(
             data, k_rays, n_rays, error_map)
-        rays = self._rays_for(data, img_idx, uv)
+        rays = self._rays_for(data, img_idx, uv, k_motion=k_motion)
         R = n_rays
 
         if self.random_bg:

@@ -209,3 +209,113 @@ def test_trainer_rays_use_lens_and_per_image_focals(tmp_path):
     r_lens = rays_of(ds_lens)
     assert not np.allclose(np.asarray(r_plain.d), np.asarray(r_lens.d),
                            atol=1e-5)
+
+
+def test_rolling_shutter_xforms(tmp_path):
+    """transform_matrix_start/end + rolling_shutter load and produce
+    per-ray poses interpolated along scanlines
+    (common_device.cuh:363-371, nerf_loader.cu:204-215)."""
+    import dataclasses
+
+    from synerfgine_tpu.core.camera import rolling_shutter_xform
+    from synerfgine_tpu.core import se3
+    from synerfgine_tpu.data import load_nerf_dataset
+    from PIL import Image
+
+    # dataset whose frames move between start and end
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(2):
+        name = f"im_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(tmp_path / name)
+        start = np.eye(4)
+        end = np.eye(4)
+        end[0, 3] = 1.0   # camera slides +x during exposure
+        frames.append({"file_path": name,
+                       "transform_matrix_start": start.tolist(),
+                       "transform_matrix_end": end.tolist()})
+    meta = {"fl_x": 8.0, "fl_y": 8.0, "cx": 4, "cy": 4, "aabb_scale": 1,
+            "rolling_shutter": [0.0, 0.0, 1.0, 0.0], "frames": frames}
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    ds = load_nerf_dataset(tmp_path)
+    assert ds.xforms_end is not None
+    np.testing.assert_allclose(ds.rolling_shutter, [0, 0, 1, 0])
+    # poses differ between start and end arrays
+    assert not np.allclose(ds.xforms, ds.xforms_end)
+
+    # top scanline (v=0) -> start pose; bottom (v=1) -> end pose
+    start = jnp.asarray(ds.xforms[:1])
+    end = jnp.asarray(ds.xforms_end[:1])
+    uv_top = jnp.asarray([[0.5, 0.0]])
+    uv_bot = jnp.asarray([[0.5, 1.0]])
+    m_top = rolling_shutter_xform(start, end, uv_top, ds.rolling_shutter, 0.0)
+    m_bot = rolling_shutter_xform(start, end, uv_bot, ds.rolling_shutter, 0.0)
+    np.testing.assert_allclose(np.asarray(m_top[0]), np.asarray(start[0]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_bot[0]), np.asarray(end[0]),
+                               atol=1e-6)
+    # halfway scanline: halfway position
+    m_mid = rolling_shutter_xform(start, end, jnp.asarray([[0.5, 0.5]]),
+                                  ds.rolling_shutter, 0.0)
+    np.testing.assert_allclose(np.asarray(m_mid[0, :, 3]),
+                               0.5 * (np.asarray(start[0, :, 3])
+                                      + np.asarray(end[0, :, 3])), atol=1e-6)
+
+    # rotation slerp: 90-degree z rotation at t=0.5 == 45 degrees
+    rot_end = np.eye(4)
+    rot_end[:3, :3] = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    s = jnp.asarray(np.eye(4)[None, :3, :4], jnp.float32)
+    e = jnp.asarray(rot_end[None, :3, :4], jnp.float32)
+    m = rolling_shutter_xform(s, e, jnp.asarray([[0.5, 0.5]]),
+                              jnp.asarray([0, 0, 1, 0.0]), 0.0)
+    c = np.cos(np.pi / 4)
+    np.testing.assert_allclose(
+        np.asarray(m[0, :2, :2]), [[c, -c], [c, c]], atol=1e-5)
+
+
+def test_trainer_uses_rolling_shutter(tmp_path):
+    import dataclasses
+
+    import jax
+
+    from synerfgine_tpu.core.config import (HashGridConfig, MLPConfig,
+                                            NGPNetworkConfig)
+    from synerfgine_tpu.data import load_nerf_dataset
+    from synerfgine_tpu.nn.nerf_network import NerfNetwork
+    from synerfgine_tpu.train.nerf_trainer import NerfTrainer
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(2):
+        name = f"im_{i}.png"
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(tmp_path / name)
+        end = np.eye(4)
+        end[1, 3] = 0.5
+        frames.append({"file_path": name,
+                       "transform_matrix_start": np.eye(4).tolist(),
+                       "transform_matrix_end": end.tolist()})
+    meta = {"fl_x": 8.0, "fl_y": 8.0, "cx": 4, "cy": 4, "aabb_scale": 1,
+            "rolling_shutter": [0.0, 0.0, 1.0, 0.0], "frames": frames}
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    ds = load_nerf_dataset(tmp_path)
+    cfg = NGPNetworkConfig(
+        encoding=HashGridConfig(n_levels=2, n_features_per_level=2,
+                                log2_hashmap_size=8, base_resolution=4,
+                                per_level_scale=2.0),
+        network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+        rgb_network=MLPConfig(n_neurons=16, n_hidden_layers=1))
+    tr = NerfTrainer(NerfNetwork(cfg), ds, n_rays=16, batch_size=128,
+                     use_grid=False, n_steps_per_ray=4)
+    # rays at the bottom scanline originate from the end pose
+    img_idx = jnp.zeros(4, jnp.int32)
+    uv = jnp.asarray([[0.5, 0.0], [0.5, 0.33], [0.5, 0.66], [0.5, 1.0]])
+    rays = tr._rays_for(tr.data, img_idx, uv)
+    o = np.asarray(rays.o)
+    assert not np.allclose(o[0], o[3])
+    # training steps run finite
+    state = tr.init(jax.random.PRNGKey(0))
+    state, loss = tr.step(state)
+    assert np.isfinite(float(loss))
