@@ -232,11 +232,13 @@ def cmd_block():
     from synerfgine_tpu.train.nerf_trainer import NerfTrainer
 
     remat = os.environ.get("SYNERFGINE_REMAT", "0") == "1"
+    hier = os.environ.get("SYNERFGINE_HIER", "1") == "1"
+    paired = os.environ.get("SYNERFGINE_PAIRED_FWD", "1") == "1"
     ds = load_nerf_dataset(LEGO, downscale=2)
     cfg = NGPNetworkConfig.from_json("/root/reference/configs/nerf/base.json")
-    net = NerfNetwork(cfg, aabb_scale=ds.aabb_scale)
+    net = NerfNetwork(cfg, aabb_scale=ds.aabb_scale, paired_fwd=paired)
     tr = NerfTrainer(net, ds, n_rays=4096, batch_size=1 << 18,
-                     use_grid=True, remat=remat)
+                     use_grid=True, remat=remat, hier_march=hier)
     state = tr.init(jax.random.PRNGKey(1337))
     # warmup/compile
     state, _ = tr.train(state, 32, adaptive_rays=False)
@@ -245,7 +247,8 @@ def cmd_block():
         t0 = time.time()
         state, _ = tr.train(state, 16, adaptive_rays=False)
         dt = (time.time() - t0) / 16 * 1000
-        report(f"scan(16) window {w} per step (remat={int(remat)})", dt)
+        report(f"scan(16) window {w}/step (remat={int(remat)} "
+               f"hier={int(hier)} paired={int(paired)})", dt)
 
 
 def cmd_grid():

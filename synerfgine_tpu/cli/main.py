@@ -408,10 +408,18 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_mask_images)
 
     args = p.parse_args(argv)
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: chunked/laddered runs re-launch fresh
+    # processes constantly; without this every chunk pays minutes of
+    # remote AOT compilation
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).resolve().parents[2]
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return args.fn(args)
 
 

@@ -156,6 +156,7 @@ class NerfTrainer:
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
         remat: bool = False,
+        hier_march: bool = True,
         spmd_axis: str | None = None,
         n_shards: int = 1,
     ):
@@ -187,6 +188,8 @@ class NerfTrainer:
         # composite in linear space; LDR targets are linearized per batch
         self.linear_colors = linear_colors
         self.remat = remat
+        # hierarchical coarse/fine march (A/B flag; see march/dda.py)
+        self.hier_march = hier_march
         # SPMD data parallelism (SURVEY.md §2.4 "first-class" row): when
         # spmd_axis is set, the SAME step functions below run per-shard
         # inside shard_map — rays/batch divided by n_shards, gradients
@@ -422,7 +425,8 @@ class NerfTrainer:
         net_apply = jax.checkpoint(net_fn) if self.remat else net_fn
 
         if self.use_grid:
-            if self.segment_compaction and coarse is not None:
+            if self.segment_compaction and self.hier_march \
+                    and coarse is not None:
                 from ..march.dda import march_compact_hier
 
                 samples, comp_in = march_compact_hier(
