@@ -110,7 +110,10 @@ def main():
         log(f"step {prog['steps']} (chunk {dt:.0f}s, "
             f"total train {prog['train_seconds']:.0f}s)")
 
-        if prog["steps"] in eval_rungs and probe():
+        done_evals = {e["step"] for e in prog["evals"]}
+        pending = [r for r in eval_rungs
+                   if r <= prog["steps"] and r not in done_evals]
+        if pending and probe():
             log(f"eval at step {prog['steps']}")
             try:
                 r = run_cli(
