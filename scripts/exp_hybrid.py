@@ -52,8 +52,12 @@ def main():
         density=jnp.asarray(np.where(occ, 1.0, 0.0).astype(np.float32)),
         bitfield=jnp.asarray(occ))
 
+    import os
+
+    W = int(os.environ.get("HYBRID_W", "1280"))
+    H = int(os.environ.get("HYBRID_H", "720"))
     scene = load_scene_json(SCENE)
-    eng = Engine(net, params, grid, gstate, scene, width=1280, height=720)
+    eng = Engine(net, params, grid, gstate, scene, width=W, height=H)
     log(f"nerf_res {eng.nerf_res} syn_res {eng.syn_res}")
 
     # warmup/compile
@@ -68,10 +72,21 @@ def main():
         out = eng.frame()
         np.asarray(out["rgba"])   # host fetch paces the relay
     dt = (time.time() - t0) / n * 1000
-    print(json.dumps({"metric": "hybrid_frame_ms_720p", "value": round(dt, 1),
+    w, h = eng.width, eng.height
+    print(json.dumps({"metric": f"hybrid_frame_ms_{h}p", "value": round(dt, 1),
                       "unit": "ms", "timings": {k: round(v, 1) for k, v
                                                 in eng.timings.items()}}),
           flush=True)
+    # frame artifact for docs/
+    import pathlib
+
+    from synerfgine_tpu.io.image import write_image
+
+    art = pathlib.Path(__file__).resolve().parents[1] / "docs"
+    art.mkdir(exist_ok=True)
+    rgba = np.clip(np.asarray(out["rgba"]), 0, 1)
+    write_image(str(art / f"hybrid_frame_{h}p.png"), rgba[..., :3])
+    log(f"frame artifact: docs/hybrid_frame_{h}p.png")
 
 
 if __name__ == "__main__":

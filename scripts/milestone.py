@@ -70,6 +70,41 @@ def main():
                   "steps": 0, "train_seconds": 0.0, "evals": []})
     eval_rungs = sorted(int(x) for x in args.eval_at.split(","))
 
+    def run_pending_evals():
+        # an eval at step S covers every rung <= S (the snapshot cannot
+        # be rewound; late evals record their actual step)
+        done_evals = {e["step"] for e in prog["evals"]}
+        pending = [r for r in eval_rungs
+                   if r <= prog["steps"]
+                   and not any(s >= r for s in done_evals)]
+        if not pending or not snap.exists():
+            return
+        log(f"eval at step {prog['steps']} (pending rungs {pending})")
+        try:
+            r = run_cli(
+                ["eval", "--scene", args.scene,
+                 "--downscale", str(args.downscale),
+                 "--load-snapshot", str(snap),
+                 "--n-views", str(args.eval_views),
+                 "--out", str(d / f"renders_{prog['steps']}")],
+                args.chunk_timeout)
+        except subprocess.TimeoutExpired:
+            log("eval timed out")
+            return
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            rep = json.loads(line)
+            rep["step"] = prog["steps"]
+            rep["train_seconds"] = prog["train_seconds"]
+            rep["wallclock_s"] = time.time() - t_start
+            prog["evals"].append(rep)
+            prog_path.write_text(json.dumps(prog, indent=2))
+            log(f"PSNR @ {prog['steps']}: {rep.get('psnr_mean'):.2f} dB")
+        else:
+            log(f"eval failed rc={r.returncode}")
+            sys.stderr.write((r.stderr or "")[-2000:])
+
     t_start = time.time()
     while prog["steps"] < args.target_steps:
         if time.time() - t_start > args.budget_s:
@@ -79,6 +114,7 @@ def main():
             log("relay down; waiting 120 s")
             time.sleep(120)
             continue
+        run_pending_evals()
         n = min(args.chunk_steps, args.target_steps - prog["steps"])
         # stop the chunk exactly at the next eval rung
         for r in eval_rungs:
@@ -110,36 +146,7 @@ def main():
         log(f"step {prog['steps']} (chunk {dt:.0f}s, "
             f"total train {prog['train_seconds']:.0f}s)")
 
-        done_evals = {e["step"] for e in prog["evals"]}
-        pending = [r for r in eval_rungs
-                   if r <= prog["steps"] and r not in done_evals]
-        if pending and probe():
-            log(f"eval at step {prog['steps']}")
-            try:
-                r = run_cli(
-                    ["eval", "--scene", args.scene,
-                     "--downscale", str(args.downscale),
-                     "--load-snapshot", str(snap),
-                     "--n-views", str(args.eval_views),
-                     "--out", str(d / f"renders_{prog['steps']}")],
-                    args.chunk_timeout)
-            except subprocess.TimeoutExpired:
-                log("eval timed out; continuing training")
-                continue
-            line = next((ln for ln in r.stdout.splitlines()
-                         if ln.startswith("{")), None)
-            if r.returncode == 0 and line:
-                rep = json.loads(line)
-                rep["step"] = prog["steps"]
-                rep["train_seconds"] = prog["train_seconds"]
-                rep["wallclock_s"] = time.time() - t_start
-                prog["evals"].append(rep)
-                prog_path.write_text(json.dumps(prog, indent=2))
-                log(f"PSNR @ {prog['steps']}: {rep.get('psnr_mean'):.2f} dB")
-            else:
-                log(f"eval failed rc={r.returncode}")
-                sys.stderr.write((r.stderr or "")[-2000:])
-
+    run_pending_evals()
     print(json.dumps(prog, indent=2))
 
 
