@@ -818,11 +818,10 @@ class NerfTrainer:
                                xs - center) + center
             return render_aabb.contains(local)
 
-        def render_chunk_impl(p, pt, gbits, uv, key):
+        def one_spp(p, pt, gbits, uv, key_s):
             R = uv.shape[0]
-            acc = None
-            for s in range(spp):
-                key, k_uv, k_ap, k_m = jax.random.split(key, 4)
+            if True:  # (indentation shim: body shared with the old loop)
+                k_uv, k_ap, k_m = jax.random.split(key_s, 3)
                 uv_s = uv
                 if spp > 1 and not snap_to_pixel_centers:
                     uv_s = uv + (jax.random.uniform(k_uv, uv.shape) - 0.5) / jnp.asarray([w, h])
@@ -950,8 +949,25 @@ class NerfTrainer:
                     else:
                         bg_r = bg
                     rgb = comp.rgb + comp.transmittance[:, None] * bg_r
-                res = (rgb, comp.opacity, comp.depth)
-                acc = res if acc is None else tuple(a + b for a, b in zip(acc, res))
+                return rgb, comp.opacity, comp.depth
+
+        def render_chunk_impl(p, pt, gbits, uv, key):
+            # one spp per fori iteration. The old Python loop unrolled
+            # spp complete march+network copies into a single program;
+            # at spp 8 (the eval protocol) the TPU compiler ran out of
+            # temp space. The rolled loop compiles one body and reuses
+            # its buffers.
+            if spp == 1:
+                return one_spp(p, pt, gbits, uv, key)
+            R = uv.shape[0]
+
+            def body(s, acc):
+                r, a, d = one_spp(p, pt, gbits, uv,
+                                  jax.random.fold_in(key, s))
+                return (acc[0] + r, acc[1] + a, acc[2] + d)
+
+            acc = jax.lax.fori_loop(0, spp, body, (
+                jnp.zeros((R, 3)), jnp.zeros((R,)), jnp.zeros((R,))))
             return tuple(a / spp for a in acc)
 
         gbits = grid_state.bitfield if use_grid else None
