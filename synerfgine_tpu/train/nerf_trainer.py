@@ -845,9 +845,13 @@ class NerfTrainer:
                     # generous budget: with a dense early-training grid
                     # nearly every march step is occupied; an undersized
                     # budget starves the tail rays of a chunk (renders as
-                    # black bands)
+                    # black bands). Capped at 2^18 samples — the (N*32, 8)
+                    # paired-gather temp gets a 16x tile-padding expansion
+                    # on TPU, and chunk*512 at the eval chunk size made it
+                    # 16 GB (HBM OOM); 2^18 is the training batch, which
+                    # demonstrably fits
                     comp_in = compact_samples(samples, dirs_warped,
-                                              chunk * 512)
+                                              min(chunk * 512, 1 << 18))
                     xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
                     out = self.network.forward(p, xs_unit, comp_in.dirs,
                                                paired_table=pt)
