@@ -58,6 +58,7 @@ def main():
                     help="stop launching new chunks after this much wall time")
     ap.add_argument("--dir", default="/tmp/milestone")
     ap.add_argument("--chunk-timeout", type=int, default=2400)
+    ap.add_argument("--eval-timeout", type=int, default=2400)
     args = ap.parse_args()
 
     name = args.name or pathlib.Path(args.scene).name
@@ -87,7 +88,7 @@ def main():
                  "--load-snapshot", str(snap),
                  "--n-views", str(args.eval_views),
                  "--out", str(d / f"renders_{prog['steps']}")],
-                args.chunk_timeout)
+                args.eval_timeout)
         except subprocess.TimeoutExpired:
             log("eval timed out")
             return

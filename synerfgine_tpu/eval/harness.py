@@ -22,6 +22,7 @@ def evaluate_views(
     n_steps: int | None = None,
     write_dir: str | None = None,
     spp: int = 8,
+    chunk: int = 4096,
 ) -> dict:
     """Render every view of `dataset` and compute PSNR/SSIM vs GT.
 
@@ -33,7 +34,7 @@ def evaluate_views(
         out = trainer.render_image(
             params, dataset.xforms[i], width=width, height=height,
             grid_state=grid_state, n_steps=n_steps, bg_color=(0.0, 0.0, 0.0),
-            spp=spp,
+            spp=spp, chunk=chunk,
         )
         gt = dataset.images[i].astype(np.float32) / 255.0
         if width and (gt.shape[1] != width or gt.shape[0] != height):
