@@ -156,7 +156,7 @@ class NerfTrainer:
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
         remat: bool = False,
-        hier_march: bool = True,
+        hier_march: bool = False,
         spmd_axis: str | None = None,
         n_shards: int = 1,
     ):
@@ -188,7 +188,12 @@ class NerfTrainer:
         # composite in linear space; LDR targets are linearized per batch
         self.linear_colors = linear_colors
         self.remat = remat
-        # hierarchical coarse/fine march (A/B flag; see march/dda.py)
+        # hierarchical coarse/fine march (march/dda.py). DEFAULT OFF for
+        # training: the dilated coarse probe admits many fine-empty
+        # segments, and under capacity clipping those junk slots displace
+        # real samples from later rays (~84% of rays got zero samples on
+        # lego), collapsing PSNR. Usable once slot-aware ray feedback
+        # lands; the kernel + tests stay.
         self.hier_march = hier_march
         # SPMD data parallelism (SURVEY.md §2.4 "first-class" row): when
         # spmd_axis is set, the SAME step functions below run per-shard
