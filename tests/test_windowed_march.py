@@ -1,0 +1,141 @@
+"""Windowed render march (march/windowed.py) vs the single-shot
+march+compact+composite reference path.
+
+Pins the round-3 renderer fix (VERDICT r2 Weak #2): a sample budget can
+no longer starve rays — with ANY budget the windowed march must produce
+the same composite as an unclipped full march, where the old single-shot
+compaction dropped every sample of the tail rays once the budget filled
+(horizontal banding in committed milestone renders).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synerfgine_tpu.core.types import Ray
+from synerfgine_tpu.grid.occupancy import OccupancyGrid
+from synerfgine_tpu.march.composite import composite_rays
+from synerfgine_tpu.march.dda import (
+    compact_samples,
+    march_rays_grid,
+    scatter_back,
+)
+from synerfgine_tpu.march.windowed import render_march_windowed
+from synerfgine_tpu.train.nerf_trainer import scene_aabb
+
+R, K = 37, 128
+
+
+def fake_net(xs, dirs):
+    """Deterministic smooth stand-in for the NeRF network: (N, 4) raw
+    (rgb logits, log-sigma)."""
+    s = 2.5 * jnp.sin(23.0 * xs[:, 0]) + 1.5 * jnp.cos(11.0 * xs[:, 1]) + 2.0
+    rgb = jnp.stack(
+        [4.0 * xs[:, 0] - 2.0, 4.0 * xs[:, 1] - 2.0, 2.0 * dirs[:, 0] - 1.0],
+        axis=-1)
+    return jnp.concatenate([rgb, s[:, None]], axis=-1)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    aabb = scene_aabb(1)
+    grid = OccupancyGrid(1)
+    key = jax.random.PRNGKey(7)
+    k_bf, k_o, k_d = jax.random.split(key, 3)
+    bitfield = jax.random.bernoulli(
+        k_bf, 0.4, (grid.n_cascades, grid.G, grid.G, grid.G))
+    # rays from outside the box, aimed at points inside it
+    o = jnp.stack([
+        jax.random.uniform(k_o, (R,), minval=-1.0, maxval=-0.5),
+        jax.random.uniform(k_d, (R,), minval=0.1, maxval=0.9),
+        jax.random.uniform(jax.random.fold_in(k_d, 1), (R,),
+                           minval=0.1, maxval=0.9),
+    ], axis=-1)
+    target = jax.random.uniform(jax.random.fold_in(k_o, 1), (R, 3),
+                                minval=0.2, maxval=0.8)
+    d = target - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(o, d)
+    dirs_warped = (d + 1.0) * 0.5
+    return aabb, grid, bitfield, rays, dirs_warped
+
+
+def reference_composite(scene, budget, min_t=1e-4):
+    """The pre-round-3 render path: full K-step march, one compaction."""
+    aabb, grid, bitfield, rays, dirs_warped = scene
+    samples = march_rays_grid(rays, aabb, grid, bitfield, K, 0.0, None)
+    comp_in = compact_samples(samples, dirs_warped, budget)
+    out = fake_net(comp_in.xs, comp_in.dirs)
+    dense = scatter_back(out, comp_in, R, K)
+    return composite_rays(dense[..., :3], dense[..., 3], samples.dt,
+                          samples.t, comp_in.valid, min_t)
+
+
+def windowed(scene, budget, window=16, min_t=1e-4):
+    aabb, grid, bitfield, rays, dirs_warped = scene
+    return jax.jit(lambda: render_march_windowed(
+        rays, aabb, grid, bitfield, fake_net, K, 0.0, None, dirs_warped,
+        window=window, budget=budget, min_transmittance=min_t))()
+
+
+def test_windowed_matches_unclipped_reference(scene):
+    ref = reference_composite(scene, R * K)   # budget >= candidates: exact
+    got = windowed(scene, 1 << 12)
+    np.testing.assert_allclose(got.rgb, ref.rgb, atol=2e-5)
+    np.testing.assert_allclose(got.depth, ref.depth, atol=2e-5)
+    np.testing.assert_allclose(got.opacity, ref.opacity, atol=2e-5)
+
+
+def test_windowed_immune_to_tiny_budget(scene):
+    """The fix itself: a budget far below the candidate count still
+    yields the exact unclipped composite (clipped samples re-march)."""
+    ref = reference_composite(scene, R * K)
+    got = windowed(scene, budget=64, window=16)
+    np.testing.assert_allclose(got.rgb, ref.rgb, atol=2e-5)
+    np.testing.assert_allclose(got.opacity, ref.opacity, atol=2e-5)
+
+
+def test_old_path_starved_tail_rays(scene):
+    """Documents the bug being fixed: the single-shot compaction at the
+    same tiny budget zeroes out tail rays entirely."""
+    ref = reference_composite(scene, R * K)
+    starved = reference_composite(scene, 64)
+    hit = np.asarray(ref.opacity) > 0.5
+    assert hit.sum() >= 5
+    # the last rays that should be opaque lose everything
+    tail = np.where(hit)[0][-3:]
+    assert np.all(np.asarray(starved.opacity)[tail] < 1e-6)
+
+
+def test_windowed_window_size_invariance(scene):
+    a = windowed(scene, 1 << 12, window=8)
+    b = windowed(scene, 1 << 12, window=64)
+    np.testing.assert_allclose(a.rgb, b.rgb, atol=2e-5)
+    np.testing.assert_allclose(a.depth, b.depth, atol=2e-5)
+
+
+def test_windowed_min_transmittance_cut(scene):
+    """High-eps early termination matches composite_rays' masked cut."""
+    ref = reference_composite(scene, R * K, min_t=0.05)
+    got = windowed(scene, 1 << 12, min_t=0.05)
+    np.testing.assert_allclose(got.rgb, ref.rgb, atol=2e-5)
+    np.testing.assert_allclose(got.opacity, ref.opacity, atol=2e-5)
+
+
+def test_normalized_depth_is_surface_distance(scene):
+    """Unified depth semantics (VERDICT r2 Weak #9): expected depth
+    normalized by opacity lies within the sampled t-range of the ray;
+    the raw opacity-weighted sum undershoots it on translucent rays."""
+    aabb, grid, bitfield, rays, dirs_warped = scene
+    wc = windowed(scene, 1 << 12)
+    op = np.asarray(wc.opacity)
+    tmin, tmax = aabb.ray_intersect(rays.o, rays.d)
+    hit = op > 0.1
+    assert hit.sum() >= 5
+    d_norm = np.asarray(wc.depth) / np.maximum(op, 1e-6)
+    assert np.all(d_norm[hit] >= np.asarray(tmin)[hit] - 1e-3)
+    assert np.all(d_norm[hit] <= np.asarray(tmax)[hit] + 1e-3)
+    translucent = hit & (op < 0.7)
+    if translucent.sum():
+        raw = np.asarray(wc.depth)
+        assert np.all(raw[translucent] < d_norm[translucent])
