@@ -35,7 +35,8 @@ def _build_trainer(args, dataset):
         cfg = NGPNetworkConfig()
     net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale,
                       n_extra_dims=getattr(args, "n_extra_dims", 0),
-                      use_pallas_mlp=getattr(args, "pallas_mlp", False))
+                      use_pallas_mlp=getattr(args, "pallas_mlp", False),
+                      hash_grad=getattr(args, "hash_grad", "stochastic"))
     trainer = NerfTrainer(
         net,
         dataset,
@@ -379,6 +380,10 @@ def main(argv=None):
                          "to this directory before training")
     sp.add_argument("--depth-lambda", type=float, default=0.0,
                     help="depth-supervision weight")
+    sp.add_argument("--hash-grad", default="stochastic",
+                    choices=["stochastic", "exact"],
+                    help="hash-table backward: unbiased single-corner "
+                         "scatter or exact all-corner scatter")
     sp.add_argument("--mesh", default="none",
                     help="'auto' = data-parallel over all local devices; "
                          "N = first N devices; 'none' = single device")

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HashEncoding", "stochastic_encode"]
+__all__ = ["HashEncoding", "stochastic_encode", "exact_encode"]
 
 # Per-dimension hashing primes (tcnn's constants). Unlike tcnn, dim 0 is
 # combined ADDITIVELY: h = (x + (y*p1 ^ z*p2 ^ ...)) mod size, so
@@ -398,3 +398,59 @@ def _stoch_bwd(enc: HashEncoding, res, g):
 
 
 stochastic_encode.defvjp(_stoch_fwd, _stoch_bwd)
+
+
+# --------------------------------------------------------------------------
+# Exact 8-corner backward (the reference's semantics: tiny-cuda-nn
+# GridEncoding backward atomicAdds the weighted cotangent into ALL 2^D
+# corners). Same chunked <=4 MB-destination scatter as the stochastic
+# path, 8x the updates — selectable per-network (`hash_grad="exact"`)
+# so the stochastic estimator can be A/B'd at the PSNR level
+# (VERDICT r2 Next #2).
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def exact_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
+                 u: jnp.ndarray) -> jnp.ndarray:
+    """Forward == enc(table, x); backward scatters the exact trilinear
+    gradient to all 2^D corners (chunked). `u` is ignored (signature
+    matches stochastic_encode so call sites switch freely)."""
+    return enc(table, x, compute_dtype=jnp.float32)
+
+
+def _exact_fwd(enc: HashEncoding, table, x, u):
+    idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
+    if not enc.paired_fwd:
+        feats = table[idx.reshape(-1)].reshape(idx.shape + (enc.F,))
+        out = jnp.sum(feats * w[..., None], axis=2)
+        out = jnp.moveaxis(out, 0, 1).reshape(
+            x.shape[0], enc.n_levels * enc.F)
+    else:
+        out = enc.paired_encode(enc.make_paired_table(table), x)
+    return out, (idx, w)
+
+
+def _exact_bwd(enc: HashEncoding, res, g):
+    idx, w = res                                 # (L, N, C)
+    L, N, C = idx.shape
+    F = enc.F
+    g = g.reshape(N, L, F).transpose(1, 0, 2).astype(jnp.float32)  # (L,N,F)
+    wg = w[..., None].astype(jnp.float32) * g[:, :, None, :]       # (L,N,C,F)
+
+    chunk_grads = []
+    for off, size in enc.grad_scatter_chunks():
+        lvl = max(i for i, lo in enumerate(enc.level_offsets) if lo <= off)
+        local = (idx[lvl] - off).reshape(-1)                 # (N*C,)
+        valid = (local >= 0) & (local < size)
+        tgt = jnp.where(valid, local, size)
+        part = jnp.zeros((size + 1, F), jnp.float32).at[tgt].add(
+            jnp.where(valid[:, None], wg[lvl].reshape(-1, F), 0.0),
+            mode="drop",
+        )
+        chunk_grads.append(part[:size])
+    grad_table = jnp.concatenate(chunk_grads, axis=0)
+    grad_x = jnp.zeros((N, enc.n_dims), jnp.float32)
+    return grad_table, grad_x, jnp.zeros((L, N), jnp.float32)
+
+
+exact_encode.defvjp(_exact_fwd, _exact_bwd)

@@ -22,7 +22,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .hash_encoding import HashEncoding, stochastic_encode
+from .hash_encoding import HashEncoding, exact_encode, stochastic_encode
 from .mlp import MLP
 from .sh_encoding import sh_encode
 from ..core.config import NGPNetworkConfig
@@ -40,9 +40,16 @@ class NerfParams(NamedTuple):
 class NerfNetwork:
     def __init__(self, config: NGPNetworkConfig | None = None, aabb_scale: int = 1,
                  n_extra_dims: int = 0, use_pallas_mlp: bool = False,
-                 paired_fwd: bool = True):
+                 paired_fwd: bool = True, hash_grad: str = "stochastic"):
         config = config or NGPNetworkConfig()
         self.config = config
+        # hash-table backward on the training path: "stochastic" =
+        # unbiased single-corner scatter (8x fewer updates);
+        # "exact" = all-corner weighted scatter (the reference's
+        # tiny-cuda-nn GridEncoding backward semantics). A/B'd at the
+        # PSNR level — see docs/exp_hash_backward.
+        assert hash_grad in ("stochastic", "exact"), hash_grad
+        self.hash_grad = hash_grad
         # route MLPs through the Pallas fused chain (weights+activations
         # VMEM-resident, FullyFusedMLP-style) instead of the XLA matmul
         # chain; custom VJP makes it train-capable
@@ -100,7 +107,9 @@ class NerfNetwork:
         grid update) MUST prebuild it once — rebuilding per chunk costs
         ~33 ms each on chip."""
         if grad_u is not None:
-            feats = stochastic_encode(
+            encode = (stochastic_encode if self.hash_grad == "stochastic"
+                      else exact_encode)
+            feats = encode(
                 self.pos_encoding, params.hash_table, x, grad_u
             ).astype(jnp.bfloat16)
         elif paired or paired_table is not None:

@@ -56,3 +56,53 @@ def test_stochastic_forward_exact():
     np.testing.assert_allclose(
         np.asarray(stochastic_encode(enc, table, x, u)),
         np.asarray(enc(table, x)), atol=1e-6)
+
+
+def test_exact_encode_matches_autodiff_oracle():
+    """exact_encode's chunked all-corner backward == jax.grad of the
+    plain encoding (the autodiff oracle), both for the table gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synerfgine_tpu.nn.hash_encoding import HashEncoding, exact_encode
+
+    enc = HashEncoding(n_levels=3, n_features_per_level=2,
+                       log2_hashmap_size=8, base_resolution=4,
+                       per_level_scale=1.7)
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    table = enc.init(k1, scale=0.5)
+    x = jax.random.uniform(k2, (64, 3))
+    u = jax.random.uniform(k3, (enc.n_levels, 64))
+    cot = jax.random.normal(jax.random.fold_in(key, 9),
+                            (64, enc.n_output_dims))
+
+    def loss_exact(t):
+        return jnp.sum(exact_encode(enc, t, x, u) * cot)
+
+    def loss_oracle(t):
+        return jnp.sum(enc(t, x) * cot)
+
+    g_exact = jax.grad(loss_exact)(table)
+    g_oracle = jax.grad(loss_oracle)(table)
+    np.testing.assert_allclose(np.asarray(g_exact), np.asarray(g_oracle),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_exact_encode_forward_matches_plain():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synerfgine_tpu.nn.hash_encoding import HashEncoding, exact_encode
+
+    enc = HashEncoding(n_levels=3, n_features_per_level=2,
+                       log2_hashmap_size=8, base_resolution=4,
+                       per_level_scale=1.7)
+    table = enc.init(jax.random.PRNGKey(0), scale=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+    u = jnp.zeros((enc.n_levels, 32))
+    np.testing.assert_allclose(
+        np.asarray(exact_encode(enc, table, x, u)),
+        np.asarray(enc(table, x)), atol=1e-5)
