@@ -36,7 +36,8 @@ def _build_trainer(args, dataset):
     net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale,
                       n_extra_dims=getattr(args, "n_extra_dims", 0),
                       use_pallas_mlp=getattr(args, "pallas_mlp", False),
-                      hash_grad=getattr(args, "hash_grad", "stochastic"))
+                      hash_grad=getattr(args, "hash_grad", "stochastic"),
+                      hash_mode=getattr(args, "hash_mode", "additive_x"))
     trainer = NerfTrainer(
         net,
         dataset,
@@ -116,7 +117,9 @@ def cmd_train(args):
 
     if args.load_snapshot:
         state = _replicate(
-            restore_train_state(trainer, load_snapshot(args.load_snapshot)))
+            restore_train_state(trainer, load_snapshot(
+                args.load_snapshot,
+                hash_version=trainer.network.pos_encoding.hash_version)))
     else:
         state = _replicate(trainer.init(jax.random.PRNGKey(args.seed)))
 
@@ -175,7 +178,9 @@ def cmd_eval(args):
     else:
         train_ds, test_ds = ds.train_test_split(args.test_every)
     trainer = _build_trainer(args, train_ds)
-    snap = load_snapshot(args.load_snapshot)
+    snap = load_snapshot(
+        args.load_snapshot,
+        hash_version=trainer.network.pos_encoding.hash_version)
     state = restore_train_state(trainer, snap)
     report = evaluate_views(
         trainer, trainer.inference_params(state), test_ds,
@@ -197,7 +202,9 @@ def cmd_render(args):
 
     ds, _ = _load_scene(args)
     trainer = _build_trainer(args, ds)
-    state = restore_train_state(trainer, load_snapshot(args.load_snapshot))
+    state = restore_train_state(trainer, load_snapshot(
+        args.load_snapshot,
+        hash_version=trainer.network.pos_encoding.hash_version))
     out_dir = pathlib.Path(args.out or "renders")
     out_dir.mkdir(parents=True, exist_ok=True)
     if args.camera_path:
@@ -244,10 +251,12 @@ def cmd_hybrid(args):
     from ..io.snapshot import load_snapshot
     from ..nn.nerf_network import NerfNetwork
 
-    snap = load_snapshot(args.load_snapshot)
+    snap = load_snapshot(args.load_snapshot, hash_version=None)
     cfg = NGPNetworkConfig.from_json(args.config) if args.config else NGPNetworkConfig()
     aabb_scale = snap["dataset_meta"].get("aabb_scale", 1)
-    net = NerfNetwork(cfg, aabb_scale=aabb_scale)
+    net = NerfNetwork(cfg, aabb_scale=aabb_scale,
+                      hash_mode="xor" if snap["hash_version"] == 1
+                      else "additive_x")
     ref = net.init(jax.random.PRNGKey(0))
     import jax.numpy as jnp
 
@@ -305,6 +314,53 @@ def cmd_fit_image(args):
         write_image(args.out, np.clip(trainer.render(state), 0, 1))
 
 
+def cmd_import_ingp(args):
+    """Reference .ingp -> native snapshot (hash_version 1). Render/eval
+    the result with --hash-mode xor."""
+    from ..io.ingp import import_ingp
+
+    info = import_ingp(args.input, args.output)
+    print(f"imported {args.input} -> {args.output} "
+          f"(step {info['step']}, aabb_scale {info['aabb_scale']}, "
+          f"{info['n_params']} params); use --hash-mode xor to load")
+
+
+def cmd_export_ingp(args):
+    """Native snapshot -> reference .ingp."""
+    import jax
+
+    from ..core.config import NGPNetworkConfig
+    from ..grid.occupancy import OccupancyGrid
+    from ..io.ingp import export_ingp
+    from ..io.snapshot import load_snapshot
+    from ..nn.nerf_network import NerfNetwork
+
+    snap = load_snapshot(args.input, hash_version=None)
+    cfg = (NGPNetworkConfig.from_json(args.config) if args.config
+           else NGPNetworkConfig())
+    aabb_scale = snap["dataset_meta"].get("aabb_scale", 1)
+    net = NerfNetwork(cfg, aabb_scale=aabb_scale,
+                      hash_mode="xor" if snap["hash_version"] == 1
+                      else "additive_x")
+    import jax.numpy as jnp
+
+    ref = net.init(jax.random.PRNGKey(0))
+    params = jax.tree.unflatten(
+        jax.tree.structure(ref), [jnp.asarray(a) for a in snap["params"]])
+    gstate = None
+    if snap["density_grid"] is not None:
+        og = OccupancyGrid(aabb_scale)
+        gstate = og.init()._replace(
+            density=jnp.asarray(snap["density_grid"]))
+    export_ingp(args.output, net, params, gstate, step=snap["step"],
+                aabb_scale=aabb_scale)
+    if snap["hash_version"] != 1:
+        print("note: tables use the additive-x hash (hash_version 2); "
+              "hashed levels will not be bit-compatible with tcnn "
+              "indexing. Train with --hash-mode xor for full interchange.")
+    print(f"exported {args.input} -> {args.output}")
+
+
 def cmd_convert_image(args):
     from ..io.image import read_image, write_bin_image
 
@@ -353,6 +409,10 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=1337)
         sp.add_argument("--scan-block", type=int, default=None,
                         help="train steps fused per device dispatch")
+        sp.add_argument("--hash-mode", default="additive_x",
+                        choices=["additive_x", "xor"],
+                        help="hash indexing: additive_x (fast paired "
+                             "gather) or xor (tcnn/.ingp compatible)")
 
     sp = sub.add_parser("train")
     common(sp)
@@ -428,6 +488,19 @@ def main(argv=None):
     sp.add_argument("--n-steps", type=int, default=1000)
     sp.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_fit_image)
+
+    sp = sub.add_parser("import-ingp",
+                        help="reference .ingp -> native snapshot")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_import_ingp)
+
+    sp = sub.add_parser("export-ingp",
+                        help="native snapshot -> reference .ingp")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--config", default=None)
+    sp.set_defaults(fn=cmd_export_ingp)
 
     # dataset tools (scripts/{convert_image,record3d2nerf,mask_images}.py)
     sp = sub.add_parser("convert-image",

@@ -69,14 +69,17 @@ def save_snapshot(
     dataset_meta: dict | None = None,
     include_optimizer: bool = False,
     compress: bool = True,
+    hash_version: int = HASH_VERSION,
 ):
-    """params/opt_state/grid_state are pytrees of arrays (NamedTuples ok)."""
+    """params/opt_state/grid_state are pytrees of arrays (NamedTuples ok).
+    hash_version 1 marks tables indexed with the tcnn XOR hash
+    (HashEncoding hash_mode=\"xor\" — e.g. imported .ingp snapshots)."""
     import jax
 
     payload: dict[str, Any] = {
         "magic": MAGIC,
         "format_version": FORMAT_VERSION,
-        "hash_version": HASH_VERSION,
+        "hash_version": hash_version,
         "step": int(step),
         "config": config or {},
         "dataset_meta": dataset_meta or {},
@@ -100,10 +103,13 @@ def save_snapshot(
         f.write(raw)
 
 
-def load_snapshot(path: str) -> dict:
+def load_snapshot(path: str, hash_version: int = HASH_VERSION) -> dict:
     """Returns dict with keys: params (list of arrays), opt_state
     (list | None), density_grid (fp32 array | None), step, config,
-    dataset_meta. Caller restores pytree structure via tree_unflatten."""
+    dataset_meta, hash_version. Caller restores pytree structure via
+    tree_unflatten. Pass hash_version=1 (or build the network with
+    hash_mode=\"xor\") to load .ingp-imported snapshots; pass None to
+    skip the gate and check `hash_version` in the result yourself."""
     with open(path, "rb") as f:
         tag = f.read(4)
         raw = f.read()
@@ -117,12 +123,14 @@ def load_snapshot(path: str) -> dict:
     if payload.get("format_version", 0) > FORMAT_VERSION:
         raise ValueError("snapshot from a newer format version")
     hv = payload.get("hash_version", 1)
-    if hv != HASH_VERSION:
+    if hash_version is not None and hv != hash_version:
         raise ValueError(
             f"{path}: hash tables were trained under hash_version {hv}, "
-            f"this build indexes with hash_version {HASH_VERSION} — "
-            "resuming would silently gather the wrong table rows")
+            f"this build indexes with hash_version {hash_version} — "
+            "resuming would silently gather the wrong table rows. "
+            "(hash_version 1 snapshots need hash_mode='xor' networks.)")
     out = {
+        "hash_version": hv,
         "step": payload["step"],
         "config": payload["config"],
         "dataset_meta": payload["dataset_meta"],

@@ -1,0 +1,78 @@
+"""Volume compositing directly on the compacted sample batch.
+
+The original training path scattered network outputs back to the dense
+(R, K) march layout (`scatter_back`: a R*K-row gather forward and a
+R*K-update scatter-add in the backward — 4.2 M transactions each at the
+default shapes) and composited over (R, K). But the compacted batch is
+already ordered by (ray, t) — compaction slots are assigned by a
+row-major cumsum — so compositing is a SEGMENTED scan over the batch:
+
+    optical depth  od_i = sigma_i * dt_i
+    T_pre_i  = exp(-(cumsum_excl(od)_i - before[ray_i]))
+    w_i      = T_pre_i * (1 - exp(-od_i))          [masked below eps]
+    per-ray outputs = segment_sum over ray_idx      (tiny destination)
+
+`before[r]` (total optical depth of earlier rays) comes from one
+segment_sum + one R-length cumsum. Everything is exact — `1 - alpha`
+IS `exp(-od)` — so results match `scatter_back` + `composite_rays`
+bit-for-bit up to float reassociation, at ~1/16 the HBM transactions.
+
+Invalid slots (capacity padding, fine-invalid samples inside a kept
+segment) carry od = 0 and weight 0, so their position in the batch is
+irrelevant; they need no reordering.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import TRAIN_T_EPS
+from .dda import CompactedSamples
+
+
+class CompactedComposite(NamedTuple):
+    rgb: jnp.ndarray            # (R, 3) accumulated color (no background)
+    depth: jnp.ndarray          # (R,) expected termination distance
+    opacity: jnp.ndarray        # (R,)
+    transmittance: jnp.ndarray  # (R,) T after the last live sample
+
+
+def composite_compacted(
+    raw: jnp.ndarray,              # (B, 4) network output (rgb logits, log-sigma)
+    comp_in: CompactedSamples,
+    R: int,
+    min_transmittance: float = TRAIN_T_EPS,
+    T0: jnp.ndarray | None = None,  # (R,) carried-in transmittance
+) -> CompactedComposite:
+    """T0 lets the windowed render march carry per-ray transmittance
+    across windows; default is a fresh ray (T0 = 1)."""
+    sigma = jnp.exp(jnp.clip(raw[:, 3].astype(jnp.float32), -15.0, 15.0))
+    sigma = jnp.where(comp_in.slot_valid, sigma, 0.0)
+    od = sigma * comp_in.dt                       # (B,) optical depth
+    ray = comp_in.ray_idx
+
+    excl = jnp.cumsum(od) - od                    # global exclusive prefix
+    ray_tot = jax.ops.segment_sum(od, ray, num_segments=R)
+    before = jnp.cumsum(ray_tot) - ray_tot        # od of earlier rays
+    T_pre = jnp.exp(-(excl - before[ray]))
+    if T0 is not None:
+        T_pre = T_pre * T0[ray]
+    alpha = -jnp.expm1(-od)
+    live = T_pre > min_transmittance
+    w = jnp.where(live, T_pre * alpha, 0.0)
+
+    rgb = jax.ops.segment_sum(
+        w[:, None] * jax.nn.sigmoid(raw[:, :3].astype(jnp.float32)),
+        ray, num_segments=R)
+    depth = jax.ops.segment_sum(w * comp_in.t, ray, num_segments=R)
+    opacity = jax.ops.segment_sum(w, ray, num_segments=R)
+    # T after the early-termination cut: prod over LIVE samples only,
+    # exactly composite_rays' masked product
+    T_final = jnp.exp(-jax.ops.segment_sum(
+        jnp.where(live, od, 0.0), ray, num_segments=R))
+    if T0 is not None:
+        T_final = T_final * T0
+    return CompactedComposite(rgb=rgb, depth=depth, opacity=opacity,
+                              transmittance=T_final)

@@ -110,6 +110,9 @@ class CompactedSamples(NamedTuple):
     target_slot: jnp.ndarray  # (R*K,) int32 in [0, S]; S == dropped/invalid
     valid: jnp.ndarray     # (R, K) bool after capacity clipping
     n_valid: jnp.ndarray   # () int32 — samples before clipping (feedback)
+    slot_valid: jnp.ndarray  # (S,) bool — slot holds a real valid sample
+    # invariant: slots are ordered by (ray, t) — compaction assigns them
+    # by row-major cumsum — which composite_compacted relies on
 
 
 def compact_samples(
@@ -136,6 +139,7 @@ def compact_samples(
     t = samples.t.reshape(R * K)[inv]
     ray_of = inv // K
     dirs = dirs_warped[ray_of]
+    n_valid = pos[-1] + 1
     return CompactedSamples(
         xs=xs,
         dirs=dirs,
@@ -144,7 +148,9 @@ def compact_samples(
         ray_idx=ray_of,
         target_slot=slot,
         valid=keep.reshape(R, K),
-        n_valid=pos[-1] + 1,
+        n_valid=n_valid,
+        slot_valid=jnp.arange(batch_size, dtype=jnp.int32)
+        < jnp.minimum(n_valid, batch_size),
     )
 
 
@@ -205,6 +211,10 @@ def compact_samples_segmented(
     valid = samples.valid & (target < batch_size)
     target = jnp.where(samples.valid, target, batch_size).reshape(-1)
 
+    n_kept_segs = jnp.sum(keep)
+    slot_valid = (samples.valid.reshape(-1)[fine_idx]
+                  & (jnp.arange(batch_size, dtype=jnp.int32) // seg
+                     < n_kept_segs))
     return CompactedSamples(
         xs=xs, dirs=dirs, dt=dt, t=t,
         ray_idx=ray_of.astype(jnp.int32),
@@ -213,6 +223,7 @@ def compact_samples_segmented(
         n_valid=jnp.sum(samples.valid & (seg_valid.reshape(R, S, 1)
                                          .repeat(seg, 2)
                                          .reshape(R, K))).astype(jnp.int32),
+        slot_valid=slot_valid,
     )
 
 
@@ -317,11 +328,15 @@ def march_compact_hier(
                * n_seg_total / jnp.maximum(n_seg_kept, 1.0))
 
     samples = GridSamples(t=t, dt=dt, xs=xs, valid=valid_dense)
+    n_kept_segs = jnp.minimum(n_seg_total, jnp.float32(n_slots))
     comp_in = CompactedSamples(
         xs=xs_c, dirs=dirs, dt=dt_flat, t=t_flat,
         ray_idx=ray_of.astype(jnp.int32),
         target_slot=target,
         valid=valid_dense,
         n_valid=n_valid.astype(jnp.int32),
+        slot_valid=(fine_ok
+                    & (jnp.arange(batch_size, dtype=jnp.int32) // seg
+                       < n_kept_segs.astype(jnp.int32))),
     )
     return samples, comp_in

@@ -39,11 +39,11 @@ import jax.numpy as jnp
 
 from ..core.types import BoundingBox, Ray
 from ..grid.occupancy import OccupancyGrid, mip_from_dt
+from .compacted import composite_compacted
 from .dda import (
     GridSamples,
     compact_samples,
     from_stepping_space,
-    scatter_back,
     to_stepping_space,
 )
 
@@ -123,7 +123,6 @@ def render_march_windowed(
             lambda: net_apply(comp_in.xs, comp_in.dirs),
             lambda: jnp.zeros((B, 4), jnp.float32),
         )
-        dense = scatter_back(out, comp_in, R, W)          # (R, W, 4)
         kept = comp_in.valid                              # (R, W) post-clip
 
         # advance to the first valid-but-clipped sample (re-marched next
@@ -134,24 +133,17 @@ def render_march_windowed(
             jnp.where(dropped, steps_i, W), axis=1).astype(jnp.float32)
         n_next = jnp.where(alive, n_cur + first_drop, n_cur)
 
-        sigma = jnp.exp(jnp.clip(dense[..., 3], -15.0, 15.0))
-        sigma = jnp.where(kept, sigma, 0.0)
-        alpha = 1.0 - jnp.exp(-sigma * dt)
-        one_minus = 1.0 - alpha
-        # exclusive transmittance prefix, carried in from prior windows
-        T_pre = T[:, None] * jnp.cumprod(jnp.concatenate(
-            [jnp.ones((R, 1), jnp.float32), one_minus[:, :-1]], axis=1),
-            axis=1)
-        live = T_pre > min_transmittance
-        w = jnp.where(live, T_pre * alpha, 0.0)
-        rgb = rgb + jnp.sum(
-            w[..., None] * jax.nn.sigmoid(dense[..., :3]), axis=1)
-        depth = depth + jnp.sum(w * t, axis=1)
-        opac = opac + jnp.sum(w, axis=1)
-        # raw product: once T crosses the cut the ray stays terminated
-        T_new = T * jnp.prod(one_minus, axis=1)
+        # segmented composite on the compacted window batch with the
+        # carried per-ray transmittance (march/compacted.py) — no
+        # scatter_back, no dense (R, W) composite
+        comp = composite_compacted(out, comp_in, R, min_transmittance,
+                                   T0=T)
+        rgb = rgb + comp.rgb
+        depth = depth + comp.depth
+        opac = opac + comp.opacity
         n_marched = n_marched + jnp.sum(kept, axis=1).astype(jnp.int32)
-        return (it + 1, n_next, T_new, rgb, depth, opac, n_marched)
+        return (it + 1, n_next, comp.transmittance, rgb, depth, opac,
+                n_marched)
 
     init = (
         jnp.int32(0),

@@ -61,12 +61,21 @@ class HashEncoding:
         per_level_scale: float = 2.0,
         n_dims: int = 3,
         paired_fwd: bool = True,
+        hash_mode: str = "additive_x",
     ):
         # paired_fwd: use the aligned-pair (double-width-row) gather in the
         # stochastic-VJP training forward. Explicit constructor flag (NOT
         # an env var read at trace time — jit caches would silently pin
         # whichever value was set first); A/B via NerfNetwork(paired_fwd=).
         self.paired_fwd = paired_fwd
+        # hash_mode "additive_x" (hash_version 2): x combined additively —
+        # enables the aligned-pair gather. "xor" (hash_version 1): the
+        # tcnn hash (x*1 ^ y*p1 ^ z*p2) — bit-compatible with reference /
+        # tiny-cuda-nn-trained tables (.ingp import, io/ingp.py); the
+        # paired gather degrades transparently to the 8-corner form.
+        assert hash_mode in ("additive_x", "xor"), hash_mode
+        self.hash_mode = hash_mode
+        self.hash_version = 2 if hash_mode == "additive_x" else 1
         self.n_levels = n_levels
         self.F = n_features_per_level
         self.n_dims = n_dims
@@ -181,7 +190,11 @@ class HashEncoding:
             h = jnp.zeros(coord.shape[:2], jnp.uint32)
             for d in range(1, self.n_dims):
                 h = h ^ (coord[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
-            h = coord[..., 0].astype(jnp.uint32) + h  # additive in x
+            if self.hash_mode == "xor":
+                # tcnn hash (prime 1 for dim 0): bit-compatible indexing
+                h = coord[..., 0].astype(jnp.uint32) ^ h
+            else:
+                h = coord[..., 0].astype(jnp.uint32) + h  # additive in x
             idx = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
 
         # D-linear interpolation weights: prod_d (corner_d ? frac : 1-frac)
@@ -208,7 +221,13 @@ class HashEncoding:
         Built as ONE whole-table roll + 8 single-row boundary fixups
         (each level's last row wraps to its own first row, not the next
         level's). The earlier per-level roll+concat materialized ~2x the
-        traffic in 2L kernels and cost 33 ms/step on chip."""
+        traffic in 2L kernels and cost 33 ms/step on chip.
+
+        In "xor" hash mode the x-adjacency invariant doesn't hold for
+        hashed levels; the table is returned unchanged and
+        `paired_encode` degrades to the 8-corner gather."""
+        if self.hash_mode == "xor":
+            return table
         rolled = jnp.roll(table, -1, axis=0)
         for off, size in zip(self.level_offsets, self.level_sizes):
             rolled = rolled.at[off + size - 1].set(table[off])
@@ -268,6 +287,9 @@ class HashEncoding:
         forward — autodiff through this would scatter into the
         double-width table, so gradient paths that need d/dx keep the
         8-corner form."""
+        if paired_table.shape[1] == self.F:
+            # "xor" hash mode: no pair invariant — plain 8-corner gather
+            return self(paired_table, x, level_mask, compute_dtype)
         L, F = self.n_levels, self.F
         N = x.shape[0]
         rows, ws, fxs = [], [], []

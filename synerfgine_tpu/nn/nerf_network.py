@@ -40,7 +40,8 @@ class NerfParams(NamedTuple):
 class NerfNetwork:
     def __init__(self, config: NGPNetworkConfig | None = None, aabb_scale: int = 1,
                  n_extra_dims: int = 0, use_pallas_mlp: bool = False,
-                 paired_fwd: bool = True, hash_grad: str = "stochastic"):
+                 paired_fwd: bool = True, hash_grad: str = "stochastic",
+                 hash_mode: str = "additive_x"):
         config = config or NGPNetworkConfig()
         self.config = config
         # hash-table backward on the training path: "stochastic" =
@@ -63,6 +64,7 @@ class NerfNetwork:
             per_level_scale=enc.resolve_per_level_scale(aabb_scale),
             n_dims=3,
             paired_fwd=paired_fwd,
+            hash_mode=hash_mode,
         )
         self.sh_degree = config.dir_encoding.degree
         self.n_extra_dims = n_extra_dims

@@ -32,6 +32,7 @@ from ..core.constants import (
 from ..core.types import BoundingBox, Ray
 from ..data.nerf_loader import NerfDataset
 from ..grid.occupancy import OccupancyGrid, OccupancyGridState
+from ..march.compacted import composite_compacted
 from ..march.composite import composite_rays
 from ..march.dda import (
     compact_samples,
@@ -158,6 +159,7 @@ class NerfTrainer:
         sharpness_weighted: bool = False,
         remat: bool = False,
         hier_march: bool = False,
+        compacted_composite: bool = True,
         spmd_axis: str | None = None,
         n_shards: int = 1,
     ):
@@ -196,6 +198,11 @@ class NerfTrainer:
         # lego), collapsing PSNR. Usable once slot-aware ray feedback
         # lands; the kernel + tests stay.
         self.hier_march = hier_march
+        # composite on the compacted batch (segmented scans) instead of
+        # scatter_back to (R, K) + dense composite — bit-equivalent
+        # (tests/test_compacted_composite.py), ~16x fewer HBM
+        # transactions in the composite stage
+        self.compacted_composite = compacted_composite
         # SPMD data parallelism (SURVEY.md §2.4 "first-class" row): when
         # spmd_axis is set, the SAME step functions below run per-shard
         # inside shard_map — rays/batch divided by n_shards, gradients
@@ -464,11 +471,18 @@ class NerfTrainer:
                 extra = (params.latents[sample_img]
                          if self.n_extra_dims > 0 else None)
                 out = net_apply(params, xs_unit, comp_in.dirs, grad_u, extra)
-                dense = scatter_back(out, comp_in, R, K)
-                comp = composite_rays(
-                    dense[..., :3], dense[..., 3], samples.dt, samples.t,
-                    comp_in.valid, TRAIN_T_EPS,
-                )
+                if self.compacted_composite:
+                    # segmented composite on the compacted batch: no
+                    # (R, K) scatter_back gather/scatter pair, no dense
+                    # composite (bit-equivalent; march/compacted.py)
+                    comp = composite_compacted(out, comp_in, R,
+                                               TRAIN_T_EPS)
+                else:
+                    dense = scatter_back(out, comp_in, R, K)
+                    comp = composite_rays(
+                        dense[..., :3], dense[..., 3], samples.dt,
+                        samples.t, comp_in.valid, TRAIN_T_EPS,
+                    )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
                 loss = ray_mean(per_ray)
@@ -559,11 +573,14 @@ class NerfTrainer:
             extra = (params.latents[img_idx[comp_in.ray_idx]]
                      if self.n_extra_dims > 0 else None)
             out = self.network.forward(params, xs_unit, dirs, extra=extra)
-            dense = scatter_back(out, comp_in, R, K)
-            comp = composite_rays(
-                dense[..., :3], dense[..., 3], samples.dt, samples.t,
-                comp_in.valid, TRAIN_T_EPS,
-            )
+            if self.compacted_composite:
+                comp = composite_compacted(out, comp_in, R, TRAIN_T_EPS)
+            else:
+                dense = scatter_back(out, comp_in, R, K)
+                comp = composite_rays(
+                    dense[..., :3], dense[..., 3], samples.dt, samples.t,
+                    comp_in.valid, TRAIN_T_EPS,
+                )
             if self.train_envmap and params.envmap is not None:
                 from ..nn.envmap import envmap_background
 
