@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--dir", default="/tmp/milestone")
     ap.add_argument("--chunk-timeout", type=int, default=2400)
     ap.add_argument("--eval-timeout", type=int, default=2400)
+    ap.add_argument("--train-args", default="",
+                    help="extra args for every train chunk, e.g. "
+                         "'--hash-grad exact' (A/B experiments)")
     args = ap.parse_args()
 
     name = args.name or pathlib.Path(args.scene).name
@@ -128,6 +131,8 @@ def main():
                "--test-every", "8"]
         if snap.exists():
             cli += ["--load-snapshot", str(snap)]
+        if args.train_args:
+            cli += args.train_args.split()
         log(f"chunk: steps {prog['steps']} -> {prog['steps'] + n}")
         t0 = time.time()
         try:

@@ -238,7 +238,7 @@ def cmd_block():
     cfg = NGPNetworkConfig.from_json("/root/reference/configs/nerf/base.json")
     net = NerfNetwork(cfg, aabb_scale=ds.aabb_scale, paired_fwd=paired)
     tr = NerfTrainer(net, ds, n_rays=4096, batch_size=1 << 18,
-                     use_grid=True, remat=remat, hier_march=hier)
+                     use_grid=True, remat=remat)
     state = tr.init(jax.random.PRNGKey(1337))
     # warmup/compile
     state, _ = tr.train(state, 32, adaptive_rays=False)

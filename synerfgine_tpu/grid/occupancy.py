@@ -48,11 +48,6 @@ class OccupancyGridState(NamedTuple):
     bitfield: jnp.ndarray   # (C, G, G, G) bool (occupancy incl. max-pooled mips)
     mean_density: jnp.ndarray  # () fp32, mean of relu(density[0])
     ema_step: jnp.ndarray   # () int32
-    # 4^3-pooled + 3^3-dilated bitfield (C, G/4, G/4, G/4): the first
-    # phase of the hierarchical march tests ONE coarse cell per 8-sample
-    # segment instead of 8 fine cells (march/dda.py); dilation makes the
-    # midpoint probe conservative for the whole segment span.
-    coarse: jnp.ndarray | None = None
 
 
 def mip_from_pos(pos: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
@@ -99,7 +94,6 @@ class OccupancyGrid:
             bitfield=jnp.ones((C, G, G, G), bool),  # all-occupied until updated
             mean_density=jnp.zeros((), jnp.float32),
             ema_step=jnp.zeros((), jnp.int32),
-            coarse=jnp.ones((C, G // 4, G // 4, G // 4), bool),
         )
 
     def cell_centers(self, mip: int) -> jnp.ndarray:
@@ -236,22 +230,6 @@ class OccupancyGrid:
         return self.finalize(state._replace(
             density=new_density, ema_step=state.ema_step + 1))
 
-    def make_coarse(self, bitfield: jnp.ndarray) -> jnp.ndarray:
-        """4^3 maxpool per cascade + 3^3 binary dilation. Conservative
-        superset: coarse cell set iff ANY fine cell within one coarse
-        cell of it is set — so a single midpoint probe covers an 8-sample
-        segment (segment span < 4 fine cells = 1 coarse cell at the
-        segment's max mip, by the mip_from_dt dt < cell/2 bound)."""
-        G = self.G
-        G4 = G // 4
-        pooled = bitfield.reshape(-1, G4, 4, G4, 4, G4, 4).any((2, 4, 6))
-        d = pooled
-        for ax in (1, 2, 3):
-            d = (d | jnp.roll(d, 1, ax) | jnp.roll(d, -1, ax))
-        # roll wraps; cascade boundaries: wrapping marks opposite-face
-        # cells occupied — harmless (conservative), avoids pad ops
-        return d
-
     def finalize(self, state: OccupancyGridState) -> OccupancyGridState:
         """Recompute mean + bitfield + mip max-pool (the reference's
         `update_density_grid_mean_and_bitfield`)."""
@@ -273,8 +251,7 @@ class OccupancyGrid:
             )
             levels.append(nxt)
         bits = jnp.stack(levels)
-        return state._replace(bitfield=bits, mean_density=mean,
-                              coarse=self.make_coarse(bits))
+        return state._replace(bitfield=bits, mean_density=mean)
 
     # ----------------------------------------------------------- queries
     def occupied_at(self, bitfield: jnp.ndarray, pos: jnp.ndarray,
@@ -282,15 +259,6 @@ class OccupancyGrid:
         """pos (..., 3) NGP space, mip (...,) int -> bool."""
         cell = cascade_cell_of(pos, mip)
         return bitfield[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
-
-    def coarse_occupied_at(self, coarse: jnp.ndarray, pos: jnp.ndarray,
-                           mip: jnp.ndarray) -> jnp.ndarray:
-        """Probe the pooled+dilated grid (G/4 cells per side)."""
-        G4 = self.G // 4
-        scale = jnp.exp2(-mip.astype(jnp.float32))[..., None]
-        p = (pos - 0.5) * scale + 0.5
-        cell = jnp.clip((p * G4).astype(jnp.int32), 0, G4 - 1)
-        return coarse[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
 
     def density_at(self, density: jnp.ndarray, pos: jnp.ndarray,
                    mip: jnp.ndarray) -> jnp.ndarray:

@@ -225,118 +225,3 @@ def compact_samples_segmented(
                                          .reshape(R, K))).astype(jnp.int32),
         slot_valid=slot_valid,
     )
-
-
-def march_compact_hier(
-    rays: Ray,
-    aabb: BoundingBox,
-    grid: OccupancyGrid,
-    bitfield: jnp.ndarray,
-    coarse: jnp.ndarray,
-    n_steps: int,
-    cone_angle: float,
-    key: jax.Array | None,
-    dirs_warped: jnp.ndarray,
-    batch_size: int,
-    seg: int = 8,
-) -> tuple[GridSamples, CompactedSamples]:
-    """Hierarchical two-phase march + segment compaction.
-
-    Phase 1 probes ONE pooled+dilated coarse cell per `seg`-sample
-    segment (at the segment's max mip — conservative: occupancy at any
-    finer cascade ORs into coarser cascades via the bitfield mip chain,
-    and the segment span is < 1 coarse cell at that mip). Phase 2 runs
-    the exact fine occupancy test ONLY on the compacted samples. Fine
-    occupancy lookups drop from R*K (4.2M at the default shapes) to
-    R*K/seg coarse probes + batch_size fine probes (~0.8M) — occupancy
-    gathers were ~20% of the round-1 step.
-
-    Returns (samples, comp_in) shaped exactly like
-    march_rays_grid + compact_samples_segmented: samples.valid and
-    comp_in.valid reflect the FINE test on kept samples (coarse-passing
-    but fine-empty samples are masked out of compositing), so the
-    composite is identical to the one-phase path.
-    """
-    R = rays.o.shape[0]
-    K = n_steps
-    assert K % seg == 0 and batch_size % seg == 0
-    S = K // seg
-    n_slots = batch_size // seg
-
-    o, d = rays.o, rays.d
-    tmin, tmax = aabb.ray_intersect(o, d)
-    tstart = jnp.maximum(jnp.maximum(tmin, 0.0), 1e-4)
-    jitter = (jax.random.uniform(key, (R,)) if key is not None else 0.5)
-    n0 = to_stepping_space(tstart, cone_angle) + jitter
-    i = jnp.arange(K, dtype=jnp.float32)[None, :]
-    n = n0[:, None] + i
-    t = from_stepping_space(n, cone_angle)                       # (R, K)
-    dt = from_stepping_space(n + 1.0, cone_angle) - t
-    xs = o[:, None, :] + d[:, None, :] * t[..., None]
-    in_range = (t < tmax[:, None]) & aabb.contains(xs)           # arithmetic
-    mip = mip_from_dt(dt, xs, grid.max_cascade)                  # arithmetic
-
-    # ---- phase 1: coarse probe at segment midpoints, segment max mip
-    seg_mip = jnp.max(mip.reshape(R, S, seg), axis=2)
-    t_mid = from_stepping_space(n0[:, None]
-                                + (jnp.arange(S, dtype=jnp.float32)[None, :]
-                                   * seg + seg * 0.5), cone_angle)
-    x_mid = o[:, None, :] + d[:, None, :] * t_mid[..., None]
-    seg_occ = grid.coarse_occupied_at(coarse, x_mid, seg_mip)
-    seg_valid = seg_occ & jnp.any(in_range.reshape(R, S, seg), axis=2)
-
-    # ---- segment compaction (same machinery as compact_samples_segmented)
-    flat = seg_valid.reshape(-1)
-    pos_ = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    keep = flat & (pos_ < n_slots)
-    slot = jnp.where(keep, pos_, n_slots)
-    inv = jnp.zeros((n_slots + 1,), jnp.int32).at[slot].set(
-        jnp.arange(R * S, dtype=jnp.int32), mode="drop"
-    )[:n_slots]
-    fine_idx = ((inv[:, None] // S) * K + (inv[:, None] % S) * seg
-                + jnp.arange(seg)[None, :]).reshape(-1)
-
-    t_flat = t.reshape(-1)[fine_idx]
-    dt_flat = dt.reshape(-1)[fine_idx]
-    ray_of = fine_idx // K
-    xs_c = o[ray_of] + d[ray_of] * t_flat[:, None]
-    dirs = dirs_warped[ray_of]
-
-    # ---- phase 2: exact fine occupancy only on the compacted batch
-    mip_c = mip.reshape(-1)[fine_idx]
-    fine_ok = grid.occupied_at(bitfield, xs_c, mip_c)
-    fine_ok = fine_ok & in_range.reshape(-1)[fine_idx]
-
-    seg_slot_rk = slot.reshape(R, S)
-    target = jnp.where(
-        seg_slot_rk[:, :, None] < n_slots,
-        seg_slot_rk[:, :, None] * seg + jnp.arange(seg)[None, None, :],
-        batch_size,
-    ).reshape(R, K)
-    # dense validity = fine result gathered back through the slot map
-    fine_pad = jnp.concatenate([fine_ok, jnp.zeros((1,), bool)])
-    valid_dense = fine_pad[jnp.minimum(target, batch_size)] \
-        & (target < batch_size)
-    target = jnp.where(valid_dense, target, batch_size).reshape(-1)
-
-    # adaptive-rays feedback: one-phase n_valid counts ALL valid samples
-    # including capacity-clipped ones; here dropped segments were never
-    # fine-tested, so extrapolate the kept segments' fine rate
-    n_seg_total = jnp.sum(seg_valid).astype(jnp.float32)
-    n_seg_kept = jnp.minimum(n_seg_total, jnp.float32(n_slots))
-    n_valid = (jnp.sum(fine_ok).astype(jnp.float32)
-               * n_seg_total / jnp.maximum(n_seg_kept, 1.0))
-
-    samples = GridSamples(t=t, dt=dt, xs=xs, valid=valid_dense)
-    n_kept_segs = jnp.minimum(n_seg_total, jnp.float32(n_slots))
-    comp_in = CompactedSamples(
-        xs=xs_c, dirs=dirs, dt=dt_flat, t=t_flat,
-        ray_idx=ray_of.astype(jnp.int32),
-        target_slot=target,
-        valid=valid_dense,
-        n_valid=n_valid.astype(jnp.int32),
-        slot_valid=(fine_ok
-                    & (jnp.arange(batch_size, dtype=jnp.int32) // seg
-                       < n_kept_segs.astype(jnp.int32))),
-    )
-    return samples, comp_in

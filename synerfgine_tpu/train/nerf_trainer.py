@@ -158,7 +158,6 @@ class NerfTrainer:
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
         remat: bool = False,
-        hier_march: bool = False,
         compacted_composite: bool = True,
         spmd_axis: str | None = None,
         n_shards: int = 1,
@@ -191,13 +190,6 @@ class NerfTrainer:
         # composite in linear space; LDR targets are linearized per batch
         self.linear_colors = linear_colors
         self.remat = remat
-        # hierarchical coarse/fine march (march/dda.py). DEFAULT OFF for
-        # training: the dilated coarse probe admits many fine-empty
-        # segments, and under capacity clipping those junk slots displace
-        # real samples from later rays (~84% of rays got zero samples on
-        # lego), collapsing PSNR. Usable once slot-aware ray feedback
-        # lands; the kernel + tests stay.
-        self.hier_march = hier_march
         # composite on the compacted batch (segmented scans) instead of
         # scatter_back to (R, K) + dense composite — bit-equivalent
         # (tests/test_compacted_composite.py), ~16x fewer HBM
@@ -297,8 +289,7 @@ class NerfTrainer:
             # Before the first density update, every *visible* cell counts as
             # occupied so the first training steps can march everywhere.
             bits = gstate.density >= 0.0
-            gstate = gstate._replace(
-                bitfield=bits, coarse=self.grid.make_coarse(bits))
+            gstate = gstate._replace(bitfield=bits)
         # distortion training shares the "rays rebuilt inside the loss"
         # pathway, so it rides the camera-opt state (zero-grad pose).
         cam_opt = (init_camera_opt(int(self.images.shape[0]))
@@ -373,18 +364,15 @@ class NerfTrainer:
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
                        n_rays: int | None = None, batch_size: int | None = None,
-                       error_map=None, data=None, coarse=None):
+                       error_map=None, data=None):
         """Pure core of one training step: sample rays -> march -> loss ->
         grads. Shared by the single-chip jit and the shard_map data-parallel
         path (dist/sharded.py), which calls it per-shard and psums the
         result. Returns (loss, grads, n_samples, aux) with aux =
         (img_idx, uv, per_ray_loss) for the error-map deposit.
 
-        bitfield: the occupancy bitfield, or an OccupancyGridState (in
-        which case the hierarchical coarse/fine march is used when
-        segment compaction is on)."""
+        bitfield: the occupancy bitfield, or an OccupancyGridState."""
         if hasattr(bitfield, "bitfield"):
-            coarse = bitfield.coarse if coarse is None else coarse
             bitfield = bitfield.bitfield
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
@@ -438,25 +426,16 @@ class NerfTrainer:
         net_apply = jax.checkpoint(net_fn) if self.remat else net_fn
 
         if self.use_grid:
-            if self.segment_compaction and self.hier_march \
-                    and coarse is not None:
-                from ..march.dda import march_compact_hier
-
-                samples, comp_in = march_compact_hier(
-                    rays, self.aabb, self.grid, bitfield, coarse,
-                    self.n_march_steps, self.cone_angle, k_march,
-                    dirs_warped, batch_size)
+            samples = march_rays_grid(
+                rays, self.aabb, self.grid, bitfield,
+                self.n_march_steps, self.cone_angle, k_march,
+            )
+            if self.segment_compaction:
+                comp_in = compact_samples_segmented(
+                    samples, dirs_warped, batch_size)
             else:
-                samples = march_rays_grid(
-                    rays, self.aabb, self.grid, bitfield,
-                    self.n_march_steps, self.cone_angle, k_march,
-                )
-                if self.segment_compaction:
-                    comp_in = compact_samples_segmented(
-                        samples, dirs_warped, batch_size)
-                else:
-                    comp_in = compact_samples(samples, dirs_warped,
-                                              batch_size)
+                comp_in = compact_samples(samples, dirs_warped,
+                                          batch_size)
             K = self.n_march_steps
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(

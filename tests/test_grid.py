@@ -259,62 +259,3 @@ def test_compaction_overflow_clips():
     comp = compact_samples(samples, jnp.ones((R, 3)), S)
     assert int(comp.n_valid) == 16          # pre-clip count (feedback signal)
     assert int(jnp.sum(comp.valid)) == S    # post-clip capacity
-
-
-def test_hierarchical_march_matches_one_phase():
-    """march_compact_hier composites exactly the fine-valid samples the
-    one-phase path does (the coarse probe is a conservative superset;
-    fine-invalid samples in kept segments are masked)."""
-    from synerfgine_tpu.march.dda import (
-        compact_samples_segmented, march_compact_hier)
-    from synerfgine_tpu.march.composite import composite_rays
-
-    grid = OccupancyGrid(aabb_scale=1)
-    rng = np.random.default_rng(0)
-    # sparse random occupancy
-    bits = jnp.asarray(rng.uniform(size=(1, 128, 128, 128)) < 0.02)
-    coarse = grid.make_coarse(bits)
-    aabb = scene_aabb(1)
-
-    R, K, B = 32, 256, 32 * 256
-    o = jnp.asarray(rng.uniform(-0.3, 0.0, (R, 3)).astype(np.float32))
-    d = rng.normal(size=(R, 3)).astype(np.float32)
-    d = jnp.asarray(np.abs(d) / np.linalg.norm(d, axis=-1, keepdims=True))
-    rays = Ray(o, d)
-    dirs = (d + 1.0) * 0.5
-
-    s1 = march_rays_grid(rays, aabb, grid, bits, K, 0.0)
-    c1 = compact_samples_segmented(s1, dirs, B)
-    s2, c2 = march_compact_hier(rays, aabb, grid, bits, coarse, K, 0.0,
-                                None, dirs, B)
-    # identical t/dt ladders
-    np.testing.assert_allclose(np.asarray(s1.t), np.asarray(s2.t), rtol=1e-6)
-    # every fine-valid sample must be kept by the hierarchical path
-    v1 = np.asarray(s1.valid)
-    v2 = np.asarray(s2.valid)
-    np.testing.assert_array_equal(v1, v2)
-
-    # composites agree exactly (fake per-sample outputs keyed by position)
-    def fake_out(comp_in, n):
-        return jnp.concatenate(
-            [jnp.tanh(comp_in.xs), comp_in.t[:, None]], axis=-1)
-
-    from synerfgine_tpu.march.dda import scatter_back
-
-    d1 = scatter_back(fake_out(c1, B), c1, R, K)
-    d2 = scatter_back(fake_out(c2, B), c2, R, K)
-    r1 = composite_rays(d1[..., :3], d1[..., 3], s1.dt, s1.t, c1.valid, 1e-4)
-    r2 = composite_rays(d2[..., :3], d2[..., 3], s2.dt, s2.t, c2.valid, 1e-4)
-    np.testing.assert_allclose(np.asarray(r1.rgb), np.asarray(r2.rgb),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(r1.depth), np.asarray(r2.depth),
-                               rtol=1e-5, atol=1e-6)
-
-
-def test_coarse_is_conservative_superset():
-    grid = OccupancyGrid(aabb_scale=1)
-    rng = np.random.default_rng(1)
-    bits = jnp.asarray(rng.uniform(size=(1, 128, 128, 128)) < 0.05)
-    coarse = np.asarray(grid.make_coarse(bits))
-    pooled = np.asarray(bits).reshape(1, 32, 4, 32, 4, 32, 4).any((2, 4, 6))
-    assert (coarse | ~pooled).all()  # pooled set -> coarse set
