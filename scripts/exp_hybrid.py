@@ -41,52 +41,77 @@ def main():
     log("devices:", jax.devices())
     cfg = NGPNetworkConfig.from_json("/root/reference/configs/nerf/base.json")
     net = NerfNetwork(cfg, aabb_scale=1)
-    params = net.init(jax.random.PRNGKey(0))
-    grid = OccupancyGrid(1)
-    gstate = grid.init()
-    # ~8% occupancy blob in the scene center (typical converged lego)
-    rng = np.random.default_rng(0)
-    dens = np.asarray(gstate.density)
-    occ = rng.uniform(size=dens.shape) < 0.08
-    gstate = gstate._replace(
-        density=jnp.asarray(np.where(occ, 1.0, 0.0).astype(np.float32)),
-        bitfield=jnp.asarray(occ))
 
-    import os
+    snap_path = os.environ.get("HYBRID_SNAPSHOT",
+                               "/tmp/milestone/lego_ds1/model.sng")
+    grid = OccupancyGrid(1)
+    if pathlib.Path(snap_path).exists():
+        # REAL trained lego state: representative march + shadow-DDA cost
+        from synerfgine_tpu.io.snapshot import load_snapshot
+
+        snap = load_snapshot(snap_path)
+        ref = net.init(jax.random.PRNGKey(0))
+        params = jax.tree.unflatten(
+            jax.tree.structure(ref),
+            [jnp.asarray(a) for a in snap["params"]])
+        gstate = grid.init()._replace(
+            density=jnp.asarray(snap["density_grid"]))
+        gstate = grid.finalize(gstate)
+        occ_pct = float(jnp.mean(gstate.bitfield[0])) * 100
+        log(f"trained snapshot {snap_path} (step {snap['step']}, "
+            f"occupancy {occ_pct:.1f}%)")
+    else:
+        params = net.init(jax.random.PRNGKey(0))
+        gstate = grid.init()
+        rng = np.random.default_rng(0)
+        occ = rng.uniform(size=np.asarray(gstate.density).shape) < 0.08
+        gstate = gstate._replace(
+            density=jnp.asarray(np.where(occ, 1.0, 0.0).astype(np.float32)),
+            bitfield=jnp.asarray(occ))
+        log("no trained snapshot; synthetic 8% grid")
 
     W = int(os.environ.get("HYBRID_W", "1280"))
     H = int(os.environ.get("HYBRID_H", "720"))
-    scene = load_scene_json(SCENE)
-    eng = Engine(net, params, grid, gstate, scene, width=W, height=H)
-    log(f"nerf_res {eng.nerf_res} syn_res {eng.syn_res}")
-
-    # warmup/compile
-    t0 = time.time()
-    out = eng.frame()
-    np.asarray(out["rgba"])
-    log(f"first frame (compile) {time.time()-t0:.1f}s; timings {eng.timings}")
-
-    n = 8
-    t0 = time.time()
-    for _ in range(n):
-        out = eng.frame()
-        np.asarray(out["rgba"])   # host fetch paces the relay
-    dt = (time.time() - t0) / n * 1000
-    w, h = eng.width, eng.height
-    print(json.dumps({"metric": f"hybrid_frame_ms_{h}p", "value": round(dt, 1),
-                      "unit": "ms", "timings": {k: round(v, 1) for k, v
-                                                in eng.timings.items()}}),
-          flush=True)
-    # frame artifact for docs/
-    import pathlib
+    # shadow-sample sweep (syn, nerf) — diagonal of the reference's
+    # {1,2,4,8}^2 nvprof grid (profiling.sh --sshadows/--nshadows);
+    # each config is one compiled program, so the sweep stays inside the
+    # relay's sustained-load budget
+    sweep = os.environ.get("HYBRID_SWEEP", "")
+    configs = ([(s, s) for s in (1, 2, 4, 8)] if sweep else [(None, None)])
 
     from synerfgine_tpu.io.image import write_image
 
     art = pathlib.Path(__file__).resolve().parents[1] / "docs"
     art.mkdir(exist_ok=True)
+    for ss, ns in configs:
+        scene = load_scene_json(SCENE)
+        if ss is not None:
+            scene.settings.syn_shadow_samples = ss
+            scene.settings.shadow_samples = ss
+            scene.settings.nerf_shadow_samples = ns
+        eng = Engine(net, params, grid, gstate, scene, width=W, height=H)
+        if ss is None:
+            log(f"nerf_res {eng.nerf_res} syn_res {eng.syn_res}")
+
+        t0 = time.time()
+        out = eng.frame()
+        np.asarray(out["rgba"])
+        log(f"[s{ss}n{ns}] first frame (compile) {time.time()-t0:.1f}s")
+
+        n = 8
+        t0 = time.time()
+        for _ in range(n):
+            out = eng.frame()
+            np.asarray(out["rgba"])   # host fetch paces the relay
+        dt = (time.time() - t0) / n * 1000
+        print(json.dumps({
+            "metric": f"hybrid_frame_ms_{H}p", "value": round(dt, 1),
+            "unit": "ms", "syn_shadow_samples": ss, "nerf_shadow_samples": ns,
+            "timings": {k: round(v * 1000, 1) for k, v
+                        in eng.timings.items()}}), flush=True)
     rgba = np.clip(np.asarray(out["rgba"]), 0, 1)
-    write_image(str(art / f"hybrid_frame_{h}p.png"), rgba[..., :3])
-    log(f"frame artifact: docs/hybrid_frame_{h}p.png")
+    write_image(str(art / f"hybrid_frame_{H}p.png"), rgba[..., :3])
+    log(f"frame artifact: docs/hybrid_frame_{H}p.png")
 
 
 if __name__ == "__main__":

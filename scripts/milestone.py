@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--train-args", default="",
                     help="extra args for every train chunk, e.g. "
                          "'--hash-grad exact' (A/B experiments)")
+    ap.add_argument("--eval-args", default="",
+                    help="extra args for every eval, e.g. "
+                         "'--hash-mode lattice'")
     args = ap.parse_args()
 
     name = args.name or pathlib.Path(args.scene).name
@@ -90,7 +93,8 @@ def main():
                  "--downscale", str(args.downscale),
                  "--load-snapshot", str(snap),
                  "--n-views", str(args.eval_views),
-                 "--out", str(d / f"renders_{prog['steps']}")],
+                 "--out", str(d / f"renders_{prog['steps']}")]
+                + (args.eval_args.split() if args.eval_args else []),
                 args.eval_timeout)
         except subprocess.TimeoutExpired:
             log("eval timed out")

@@ -130,6 +130,7 @@ def cmd_train(args):
             dataset_meta={"scene": str(args.scene), "n_images": ds.n_images,
                           "aabb_scale": ds.aabb_scale},
             include_optimizer=args.snapshot_optimizer,
+            hash_version=trainer.network.pos_encoding.hash_version,
         )
 
     if getattr(args, "profile", None):
@@ -410,9 +411,10 @@ def main(argv=None):
         sp.add_argument("--scan-block", type=int, default=None,
                         help="train steps fused per device dispatch")
         sp.add_argument("--hash-mode", default="additive_x",
-                        choices=["additive_x", "xor"],
+                        choices=["additive_x", "xor", "lattice"],
                         help="hash indexing: additive_x (fast paired "
-                             "gather) or xor (tcnn/.ingp compatible)")
+                             "gather), xor (tcnn/.ingp compatible), or "
+                             "lattice (full-cell single-gather rows)")
 
     sp = sub.add_parser("train")
     common(sp)

@@ -73,9 +73,18 @@ class HashEncoding:
         # tcnn hash (x*1 ^ y*p1 ^ z*p2) — bit-compatible with reference /
         # tiny-cuda-nn-trained tables (.ingp import, io/ingp.py); the
         # paired gather degrades transparently to the 8-corner form.
-        assert hash_mode in ("additive_x", "xor"), hash_mode
+        # "lattice" (hash_version 3): fully additive
+        # h = (x + K1*y + K2*z) mod T — every cell's 8 corners live at 8
+        # FIXED row offsets, enabling the full-cell row layout
+        # (make_cell_table / cell_encode): ONE 128 B gather fetches all
+        # 8 corners, 2.1M instead of 8.4M HBM transactions per 2^18x8
+        # encode (measured 128 B rows cost only 1.52x a 32 B gather).
+        # Trade-off: lattice collisions are structured (shortest lattice
+        # vector ~T^(1/3) ~ 80 cells) where XOR collisions are
+        # pseudo-random — PSNR-validated by A/B before default adoption.
+        assert hash_mode in ("additive_x", "xor", "lattice"), hash_mode
         self.hash_mode = hash_mode
-        self.hash_version = 2 if hash_mode == "additive_x" else 1
+        self.hash_version = {"xor": 1, "additive_x": 2, "lattice": 3}[hash_mode]
         self.n_levels = n_levels
         self.F = n_features_per_level
         self.n_dims = n_dims
@@ -187,14 +196,22 @@ class HashEncoding:
                 idx = idx + coord[..., d] * stride
                 stride *= res
         else:
-            h = jnp.zeros(coord.shape[:2], jnp.uint32)
-            for d in range(1, self.n_dims):
-                h = h ^ (coord[..., d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d]))
-            if self.hash_mode == "xor":
-                # tcnn hash (prime 1 for dim 0): bit-compatible indexing
-                h = coord[..., 0].astype(jnp.uint32) ^ h
+            if self.hash_mode == "lattice":
+                # fully additive: uint32 wrap-around then mod table size
+                h = coord[..., 0].astype(jnp.uint32)
+                for d in range(1, self.n_dims):
+                    h = h + (coord[..., d].astype(jnp.uint32)
+                             * jnp.uint32(_PRIMES[d]))
             else:
-                h = coord[..., 0].astype(jnp.uint32) + h  # additive in x
+                h = jnp.zeros(coord.shape[:2], jnp.uint32)
+                for d in range(1, self.n_dims):
+                    h = h ^ (coord[..., d].astype(jnp.uint32)
+                             * jnp.uint32(_PRIMES[d]))
+                if self.hash_mode == "xor":
+                    # tcnn hash (prime 1 for dim 0): bit-compatible
+                    h = coord[..., 0].astype(jnp.uint32) ^ h
+                else:
+                    h = coord[..., 0].astype(jnp.uint32) + h  # additive x
             idx = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
 
         # D-linear interpolation weights: prod_d (corner_d ? frac : 1-frac)
@@ -225,9 +242,15 @@ class HashEncoding:
 
         In "xor" hash mode the x-adjacency invariant doesn't hold for
         hashed levels; the table is returned unchanged and
-        `paired_encode` degrades to the 8-corner gather."""
+        `paired_encode` degrades to the 8-corner gather. In "lattice"
+        mode this UPGRADES to the full-cell table (one gather per
+        (sample, level)); `paired_encode` dispatches on row width, so
+        every paired call site gets the fastest layout its hash mode
+        supports."""
         if self.hash_mode == "xor":
             return table
+        if self.hash_mode == "lattice":
+            return self.make_cell_table(table)
         rolled = jnp.roll(table, -1, axis=0)
         for off, size in zip(self.level_offsets, self.level_sizes):
             rolled = rolled.at[off + size - 1].set(table[off])
@@ -263,8 +286,9 @@ class HashEncoding:
         else:
             h = jnp.zeros(coord.shape[:2], jnp.uint32)
             for d in range(1, self.n_dims):
-                h = h ^ (coord[..., d - 1].astype(jnp.uint32)
-                         * jnp.uint32(_PRIMES[d]))
+                term = (coord[..., d - 1].astype(jnp.uint32)
+                        * jnp.uint32(_PRIMES[d]))
+                h = (h + term) if self.hash_mode == "lattice" else (h ^ term)
             h = bx[:, None].astype(jnp.uint32) + h
             rows = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
 
@@ -290,6 +314,10 @@ class HashEncoding:
         if paired_table.shape[1] == self.F:
             # "xor" hash mode: no pair invariant — plain 8-corner gather
             return self(paired_table, x, level_mask, compute_dtype)
+        if paired_table.shape[1] == (1 << self.n_dims) * self.F:
+            # "lattice" mode: full-cell rows
+            return self.cell_encode(paired_table, x, level_mask,
+                                    compute_dtype)
         L, F = self.n_levels, self.F
         N = x.shape[0]
         rows, ws, fxs = [], [], []
@@ -305,6 +333,88 @@ class HashEncoding:
         lo, hi = feats[..., :F], feats[..., F:]
         pair = lo + fx[..., None, None] * (hi - lo)   # (L, N, C2, F)
         out = jnp.sum(pair * w[..., None], axis=2)    # (L, N, F)
+        if level_mask is not None:
+            out = out * level_mask[:, None, None]
+        return jnp.moveaxis(out, 0, 1).reshape(N, L * F).astype(compute_dtype)
+
+    # ---------------------------------------------------- full-cell rows
+    # "lattice" hash mode only: every corner of a cell sits at a FIXED
+    # row offset from the base corner (dense strides for dense levels,
+    # K1/K2 lattice constants for hashed ones), so one (2^D * F)-wide row
+    # gather fetches the whole interpolation cell: 2^D fewer HBM
+    # transactions at ~1.5x the per-gather cost (PERF.md round 3).
+
+    def _cell_strides(self, level: int) -> list[int]:
+        res = self.resolutions[level]
+        if self.level_is_dense[level]:
+            return [res**d for d in range(self.n_dims)]
+        return [1] + [int(_PRIMES[d] % self.hashmap_size)
+                      for d in range(1, self.n_dims)]
+
+    def make_cell_table(self, table: jnp.ndarray) -> jnp.ndarray:
+        """(n_params, F) -> (n_params, 2^D * F); row i holds the features
+        of all 2^D cell corners whose base corner hashes to i. Built from
+        pure slices (contiguous copies, ~8x table traffic, no gathers);
+        wrap within each level matches the mod-T hash arithmetic."""
+        assert self.hash_mode == "lattice", "cell rows need the lattice hash"
+        corners = self._corners                      # (2^D, D)
+        parts = []
+        for l, (off, size) in enumerate(zip(self.level_offsets,
+                                            self.level_sizes)):
+            lvl = table[off:off + size]
+            strides = self._cell_strides(l)
+            cols = []
+            for c in corners:
+                o = int(sum(int(cd) * s for cd, s in zip(c, strides))) % size
+                cols.append(
+                    jnp.concatenate([lvl[o:], lvl[:o]], 0) if o else lvl)
+            parts.append(jnp.concatenate(cols, 1))   # (size, 2^D * F)
+        return jnp.concatenate(parts, 0)
+
+    def cell_encode(
+        self,
+        cell_table: jnp.ndarray,
+        x: jnp.ndarray,
+        level_mask: jnp.ndarray | None = None,
+        compute_dtype=jnp.float32,
+    ) -> jnp.ndarray:
+        """Forward identical to `__call__` (lattice hash) gathering ONE
+        full-cell row per (sample, level). Boundary cells clamp the base
+        and saturate the fractional weight (same clip semantics as the
+        aligned-pair path)."""
+        L, F, D = self.n_levels, self.F, self.n_dims
+        C = 1 << D
+        N = x.shape[0]
+        corners = jnp.asarray(self._corners)         # (C, D)
+        rows, ws = [], []
+        for l in range(L):
+            scale = self.scales[l]
+            res = self.resolutions[l]
+            pos = x * scale + 0.5
+            base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                            max(res - 2, 0))
+            f = jnp.clip(pos - base.astype(x.dtype), 0.0, 1.0)
+            strides = self._cell_strides(l)
+            if self.level_is_dense[l]:
+                row = jnp.zeros((N,), jnp.int32)
+                for d in range(D):
+                    row = row + base[:, d] * strides[d]
+            else:
+                h = base[:, 0].astype(jnp.uint32)
+                for d in range(1, D):
+                    h = h + base[:, d].astype(jnp.uint32) * jnp.uint32(
+                        _PRIMES[d])
+                row = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
+            rows.append(row + self.level_offsets[l])
+            w = jnp.ones((N, C), x.dtype)
+            for d in range(D):
+                fd = f[:, None, d]
+                w = w * jnp.where(corners[None, :, d] == 1, fd, 1.0 - fd)
+            ws.append(w)
+        rows = jnp.stack(rows)                       # (L, N)
+        w = jnp.stack(ws)                            # (L, N, C)
+        feats = cell_table[rows.reshape(-1)].reshape(L, N, C, F)
+        out = jnp.sum(feats * w[..., None], axis=2)  # (L, N, F)
         if level_mask is not None:
             out = out * level_mask[:, None, None]
         return jnp.moveaxis(out, 0, 1).reshape(N, L * F).astype(compute_dtype)
@@ -370,21 +480,20 @@ def stochastic_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
     return enc(table, x, compute_dtype=jnp.float32)
 
 
+def _train_forward(enc: HashEncoding, table, x):
+    """The training-path forward gather, fastest layout per hash mode:
+    full-cell rows (lattice), aligned pairs (additive_x), 8-corner
+    (xor / paired_fwd=False)."""
+    if enc.hash_mode == "lattice":
+        return enc.cell_encode(enc.make_cell_table(table), x)
+    if enc.paired_fwd and enc.hash_mode == "additive_x":
+        return enc.paired_encode(enc.make_paired_table(table), x)
+    return enc(table, x, compute_dtype=jnp.float32)
+
+
 def _stoch_fwd(enc: HashEncoding, table, x, u):
     idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
-    # aligned-pair gather: 4 transactions per (sample, level) instead of
-    # 8; the pair-table rebuild is sequential HBM traffic (~2 reads/row).
-    # enc.paired_fwd=False switches back to the 8-corner gather (A/B knob
-    # for perf isolation; a static constructor flag, so each variant gets
-    # its own jit cache entry).
-    if not enc.paired_fwd:
-        feats = table[idx.reshape(-1)].reshape(idx.shape + (enc.F,))
-        out = jnp.sum(feats * w[..., None], axis=2)
-        out = jnp.moveaxis(out, 0, 1).reshape(
-            x.shape[0], enc.n_levels * enc.F)
-    else:
-        out = enc.paired_encode(enc.make_paired_table(table), x)
-    return out, (idx, w, u)
+    return _train_forward(enc, table, x), (idx, w, u)
 
 
 def _stoch_bwd(enc: HashEncoding, res, g):
@@ -442,14 +551,7 @@ def exact_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
 
 def _exact_fwd(enc: HashEncoding, table, x, u):
     idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
-    if not enc.paired_fwd:
-        feats = table[idx.reshape(-1)].reshape(idx.shape + (enc.F,))
-        out = jnp.sum(feats * w[..., None], axis=2)
-        out = jnp.moveaxis(out, 0, 1).reshape(
-            x.shape[0], enc.n_levels * enc.F)
-    else:
-        out = enc.paired_encode(enc.make_paired_table(table), x)
-    return out, (idx, w)
+    return _train_forward(enc, table, x), (idx, w)
 
 
 def _exact_bwd(enc: HashEncoding, res, g):
