@@ -9,6 +9,7 @@ nvprof sweeps (docs/assets_sng/profiling: 1280x720, shadow samples
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -95,22 +96,22 @@ def main():
 
         t0 = time.time()
         out = eng.frame()
-        np.asarray(out["rgba"])
+        np.asarray(out["rgb"])
         log(f"[s{ss}n{ns}] first frame (compile) {time.time()-t0:.1f}s")
 
         n = 8
         t0 = time.time()
         for _ in range(n):
             out = eng.frame()
-            np.asarray(out["rgba"])   # host fetch paces the relay
+            np.asarray(out["rgb"])   # host fetch paces the relay
         dt = (time.time() - t0) / n * 1000
         print(json.dumps({
             "metric": f"hybrid_frame_ms_{H}p", "value": round(dt, 1),
             "unit": "ms", "syn_shadow_samples": ss, "nerf_shadow_samples": ns,
             "timings": {k: round(v * 1000, 1) for k, v
                         in eng.timings.items()}}), flush=True)
-    rgba = np.clip(np.asarray(out["rgba"]), 0, 1)
-    write_image(str(art / f"hybrid_frame_{H}p.png"), rgba[..., :3])
+    rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
+    write_image(str(art / f"hybrid_frame_{H}p.png"), rgb)
     log(f"frame artifact: docs/hybrid_frame_{H}p.png")
 
 

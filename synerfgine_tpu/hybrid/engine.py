@@ -230,11 +230,18 @@ class Engine:
         from ..io.image import srgb_to_linear
 
         n_lin = srgb_to_linear(jnp.clip(n_rgb, 0.0, 1.0))
+        syn_rgb = syn["rgb"]
+        if s.fxaa:
+            # the display shader FXAAs the synthetic layer before the
+            # blit (main.frag:107 fxaa(syn_rgba, ...))
+            from ..render.fxaa import fxaa as _fxaa
+
+            syn_rgb = _fxaa(syn_rgb)
         use_syn = syn["hit"] & (syn["depth"] - s.depth_offset < n_depth) \
             if s.show_nerf else syn["hit"]
         if not s.show_virtual_obj:
             use_syn = jnp.zeros_like(use_syn)
-        rgb = jnp.where(use_syn[..., None], syn["rgb"], n_lin if s.show_nerf else 0.0)
+        rgb = jnp.where(use_syn[..., None], syn_rgb, n_lin if s.show_nerf else 0.0)
         rgb = rgb * (2.0 ** s.exposure)
         rgb = tonemap(rgb, s.tonemap_curve)
         rgb = linear_to_srgb(jnp.clip(rgb, 0.0, 1.0))

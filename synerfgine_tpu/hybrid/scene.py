@@ -191,12 +191,16 @@ class RenderSettings:
     vo_scale: int = 1
     tonemap_curve: str = "identity"
     n_shadow_steps: int = 8
+    # FXAA on the synthetic layer before the depth composite — the
+    # display fragment shader's anti-aliasing pass (main.frag:100-120)
+    fxaa: bool = True
 
     @staticmethod
     def from_json(cfg: dict) -> "RenderSettings":
         rs = RenderSettings()
         mapping = {
             "res_factor": "res_factor", "exposure": "exposure",
+            "fxaa": "fxaa",
             "path_trace_depth": "path_trace_depth",
             "light_samples": "light_samples",
             "shadow_samples": "shadow_samples",
