@@ -46,3 +46,29 @@ def albert_exr():
     if not p.exists():
         pytest.skip("albert.exr unavailable")
     return p
+
+
+# ---------------------------------------------------------- fast/slow tiers
+# `pytest -m fast` is the CI-sized tier (<5 min on CPU); the modules
+# below carry the end-to-end / compile-heavy tests and are marked slow.
+SLOW_MODULES = {
+    "test_dist.py", "test_graft_entry.py", "test_testbed.py",
+    "test_nerf_pipeline.py", "test_cli_mesh.py", "test_engine.py",
+    "test_image_fit.py", "test_sdf.py", "test_volume.py",
+    "test_pallas_mlp.py", "test_hybrid.py", "test_marching.py",
+    "test_render_modes.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = pathlib.Path(str(item.fspath)).name
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "fast: CI-sized tier (<5 min on CPU)")
+    config.addinivalue_line("markers", "slow: e2e / compile-heavy tests")
