@@ -1,0 +1,93 @@
+"""Round-3 PSNR-level A/B matrix (VERDICT r2 Next #2, PERF.md lattice
+adoption gate): same scene, same seeds, same eval protocol; variants
+differ in ONE lever each. Runs scripts/milestone.py serially per variant
+(one TPU client at a time through the relay) and prints a merged table.
+
+Variants (lego ds2, 1024 steps, eval at 256/512/1024, 4 views):
+  base       grid + stochastic single-corner backward + additive_x hash
+  exact      --hash-grad exact   (reference's all-8-corner semantics)
+  lattice    --hash-mode lattice (full-cell single-gather rows)
+  nogrid     --no-grid           (fixed-step march; round-1 quality ref)
+
+Usage:  python scripts/exp_ab.py [--steps 1024] [--downscale 2]
+                                 [--only base,exact] [--budget-s 5400]
+Results accumulate in docs/experiments/ab_r3/<variant>_ds<d>/progress.json
+(resumable; re-running skips finished variants).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+OUT = REPO / "docs" / "experiments" / "ab_r3"
+
+VARIANTS = {
+    "base": {"train": "", "eval": ""},
+    "exact": {"train": "--hash-grad exact", "eval": ""},
+    "lattice": {"train": "--hash-mode lattice", "eval": ""},
+    "nogrid": {"train": "--no-grid", "eval": "--no-grid"},
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="/root/reference/data/nerf/lego")
+    ap.add_argument("--downscale", type=int, default=2)
+    ap.add_argument("--steps", type=int, default=1024)
+    ap.add_argument("--eval-at", default="256,512,1024")
+    ap.add_argument("--eval-views", type=int, default=4)
+    ap.add_argument("--budget-s", type=int, default=5400,
+                    help="overall budget; split evenly across variants")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of variants")
+    args = ap.parse_args()
+
+    names = (args.only.split(",") if args.only else list(VARIANTS))
+    per_budget = args.budget_s // len(names)
+    for name in names:
+        v = VARIANTS[name]
+        d = OUT / f"{name}_ds{args.downscale}"
+        prog = d / "progress.json"
+        if prog.exists():
+            p = json.loads(prog.read_text())
+            if p["steps"] >= args.steps and len(p["evals"]) >= len(
+                    args.eval_at.split(",")):
+                print(f"[{name}] already complete", file=sys.stderr)
+                continue
+        cmd = [sys.executable, str(REPO / "scripts" / "milestone.py"),
+               "--scene", args.scene, "--name", name,
+               "--downscale", str(args.downscale),
+               "--target-steps", str(args.steps),
+               "--chunk-steps", "256",
+               "--eval-at", args.eval_at,
+               "--eval-views", str(args.eval_views),
+               "--budget-s", str(per_budget),
+               "--dir", str(OUT)]
+        if v["train"]:
+            cmd += ["--train-args", v["train"]]
+        if v["eval"]:
+            cmd += ["--eval-args", v["eval"]]
+        print(f"[{name}] {' '.join(cmd)}", file=sys.stderr)
+        subprocess.run(cmd, cwd=REPO)
+
+    # merged table
+    rows = []
+    for name in names:
+        prog = OUT / f"{name}_ds{args.downscale}" / "progress.json"
+        if not prog.exists():
+            continue
+        p = json.loads(prog.read_text())
+        for e in p["evals"]:
+            rows.append({"variant": name, "step": e["step"],
+                         "psnr": round(e["psnr_mean"], 2),
+                         "ssim": round(e.get("ssim_mean", 0), 4),
+                         "train_s": round(e["train_seconds"], 1)})
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,23 @@ import json
 import pathlib
 import time
 
+# snapshot hash_version -> HashEncoding hash_mode (io/snapshot.py gate)
+_HV_MODE = {1: "xor", 2: "additive_x", 3: "lattice"}
+
+
+def _adopt_snapshot_hash_mode(args, snapshot_path):
+    """Make the network's hash mode follow the snapshot being loaded
+    (unless the user passed --hash-mode explicitly): tables indexed under
+    one hash are garbage under another, so eval/render/resume must
+    construct the same indexing the snapshot was trained with."""
+    if getattr(args, "hash_mode", None) is not None:
+        return None
+    from ..io.snapshot import load_snapshot
+
+    snap = load_snapshot(snapshot_path, hash_version=None)
+    args.hash_mode = _HV_MODE.get(snap["hash_version"], "additive_x")
+    return snap
+
 
 def _build_trainer(args, dataset):
     import jax
@@ -37,7 +54,7 @@ def _build_trainer(args, dataset):
                       n_extra_dims=getattr(args, "n_extra_dims", 0),
                       use_pallas_mlp=getattr(args, "pallas_mlp", False),
                       hash_grad=getattr(args, "hash_grad", "stochastic"),
-                      hash_mode=getattr(args, "hash_mode", "additive_x"))
+                      hash_mode=getattr(args, "hash_mode", None) or "additive_x")
     trainer = NerfTrainer(
         net,
         dataset,
@@ -85,6 +102,8 @@ def cmd_train(args):
                          != scene_entry["dataset_test"])
     if args.test_every > 0 and not has_explicit_test:
         ds, test_ds = ds.train_test_split(args.test_every)
+    snap = (_adopt_snapshot_hash_mode(args, args.load_snapshot)
+            if args.load_snapshot else None)
     trainer = _build_trainer(args, ds)
 
     # multi-chip training from the product path (the reference only ever
@@ -116,10 +135,11 @@ def cmd_train(args):
         return jax.device_put(st, NamedSharding(mesh, P()))
 
     if args.load_snapshot:
-        state = _replicate(
-            restore_train_state(trainer, load_snapshot(
+        if snap is None:  # user forced --hash-mode: gate on its version
+            snap = load_snapshot(
                 args.load_snapshot,
-                hash_version=trainer.network.pos_encoding.hash_version)))
+                hash_version=trainer.network.pos_encoding.hash_version)
+        state = _replicate(restore_train_state(trainer, snap))
     else:
         state = _replicate(trainer.init(jax.random.PRNGKey(args.seed)))
 
@@ -178,10 +198,12 @@ def cmd_eval(args):
         test_ds, _ = _load_scene(args, split="test")
     else:
         train_ds, test_ds = ds.train_test_split(args.test_every)
+    snap = _adopt_snapshot_hash_mode(args, args.load_snapshot)
     trainer = _build_trainer(args, train_ds)
-    snap = load_snapshot(
-        args.load_snapshot,
-        hash_version=trainer.network.pos_encoding.hash_version)
+    if snap is None:
+        snap = load_snapshot(
+            args.load_snapshot,
+            hash_version=trainer.network.pos_encoding.hash_version)
     state = restore_train_state(trainer, snap)
     report = evaluate_views(
         trainer, trainer.inference_params(state), test_ds,
@@ -202,10 +224,13 @@ def cmd_render(args):
     from ..io.snapshot import load_snapshot, restore_train_state
 
     ds, _ = _load_scene(args)
+    snap = _adopt_snapshot_hash_mode(args, args.load_snapshot)
     trainer = _build_trainer(args, ds)
-    state = restore_train_state(trainer, load_snapshot(
-        args.load_snapshot,
-        hash_version=trainer.network.pos_encoding.hash_version))
+    if snap is None:
+        snap = load_snapshot(
+            args.load_snapshot,
+            hash_version=trainer.network.pos_encoding.hash_version)
+    state = restore_train_state(trainer, snap)
     out_dir = pathlib.Path(args.out or "renders")
     out_dir.mkdir(parents=True, exist_ok=True)
     if args.camera_path:
@@ -256,8 +281,8 @@ def cmd_hybrid(args):
     cfg = NGPNetworkConfig.from_json(args.config) if args.config else NGPNetworkConfig()
     aabb_scale = snap["dataset_meta"].get("aabb_scale", 1)
     net = NerfNetwork(cfg, aabb_scale=aabb_scale,
-                      hash_mode="xor" if snap["hash_version"] == 1
-                      else "additive_x")
+                      hash_mode=_HV_MODE.get(snap["hash_version"],
+                                             "additive_x"))
     ref = net.init(jax.random.PRNGKey(0))
     import jax.numpy as jnp
 
@@ -341,8 +366,8 @@ def cmd_export_ingp(args):
            else NGPNetworkConfig())
     aabb_scale = snap["dataset_meta"].get("aabb_scale", 1)
     net = NerfNetwork(cfg, aabb_scale=aabb_scale,
-                      hash_mode="xor" if snap["hash_version"] == 1
-                      else "additive_x")
+                      hash_mode=_HV_MODE.get(snap["hash_version"],
+                                             "additive_x"))
     import jax.numpy as jnp
 
     ref = net.init(jax.random.PRNGKey(0))
@@ -410,7 +435,7 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=1337)
         sp.add_argument("--scan-block", type=int, default=None,
                         help="train steps fused per device dispatch")
-        sp.add_argument("--hash-mode", default="additive_x",
+        sp.add_argument("--hash-mode", default=None,
                         choices=["additive_x", "xor", "lattice"],
                         help="hash indexing: additive_x (fast paired "
                              "gather), xor (tcnn/.ingp compatible), or "

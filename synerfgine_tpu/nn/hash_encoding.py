@@ -550,11 +550,70 @@ def exact_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
 
 
 def _exact_fwd(enc: HashEncoding, table, x, u):
+    if enc.hash_mode == "lattice":
+        # residual is just x: base rows / weights are cheap VPU math,
+        # recomputed in the backward (no (L, N, C) residual traffic)
+        return _train_forward(enc, table, x), (x,)
     idx, w = enc.all_level_indices(x)            # (L, N, C) — bwd only
     return _train_forward(enc, table, x), (idx, w)
 
 
+def _lattice_exact_bwd(enc: HashEncoding, x, g):
+    """Exact all-corner gradient at ~1 wide transaction per (sample,
+    level): because every corner sits at a STATIC offset from the base
+    row (lattice hash), the 2^D weighted cotangents scatter as ONE
+    (2^D*F)-wide row keyed by the base row, then fold onto the table
+    with 2^D static rolls (sequential traffic):
+        grad[r] = sum_c cellbuf[(r - offset_c) mod size, c-block]
+    Same clamp/saturate cell semantics as the `cell_encode` forward."""
+    L, F, D = enc.n_levels, enc.F, enc.n_dims
+    C = 1 << D
+    N = x.shape[0]
+    corners = jnp.asarray(enc._corners)              # (C, D)
+    parts = []
+    for l, (off, size) in enumerate(zip(enc.level_offsets,
+                                        enc.level_sizes)):
+        scale = enc.scales[l]
+        res = enc.resolutions[l]
+        pos = x * scale + 0.5
+        base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                        max(res - 2, 0))
+        f = jnp.clip(pos - base.astype(x.dtype), 0.0, 1.0)
+        strides = enc._cell_strides(l)
+        if enc.level_is_dense[l]:
+            row = jnp.zeros((N,), jnp.int32)
+            for d in range(D):
+                row = row + base[:, d] * strides[d]
+        else:
+            h = base[:, 0].astype(jnp.uint32)
+            for d in range(1, D):
+                h = h + base[:, d].astype(jnp.uint32) * jnp.uint32(_PRIMES[d])
+            row = (h % jnp.uint32(enc.hashmap_size)).astype(jnp.int32)
+        w = jnp.ones((N, C), jnp.float32)
+        for d in range(D):
+            fd = f[:, None, d].astype(jnp.float32)
+            w = w * jnp.where(corners[None, :, d] == 1, fd, 1.0 - fd)
+        wg = (w[:, :, None] * g[l][:, None, :]).reshape(N, C * F)
+        buf = jnp.zeros((size, C * F), jnp.float32).at[row].add(wg)
+        acc = jnp.zeros((size, F), jnp.float32)
+        for ci in range(C):
+            o = int(sum(int(cd) * s for cd, s in
+                        zip(enc._corners[ci], strides))) % size
+            blk = buf[:, ci * F:(ci + 1) * F]
+            acc = acc + (jnp.roll(blk, o, axis=0) if o else blk)
+        parts.append(acc)
+    return jnp.concatenate(parts, axis=0)
+
+
 def _exact_bwd(enc: HashEncoding, res, g):
+    if enc.hash_mode == "lattice":
+        (x,) = res
+        N = x.shape[0]
+        L, F = enc.n_levels, enc.F
+        g = g.reshape(N, L, F).transpose(1, 0, 2).astype(jnp.float32)
+        grad_table = _lattice_exact_bwd(enc, x, g)
+        return (grad_table, jnp.zeros((N, enc.n_dims), jnp.float32),
+                jnp.zeros((L, N), jnp.float32))
     idx, w = res                                 # (L, N, C)
     L, N, C = idx.shape
     F = enc.F

@@ -106,3 +106,40 @@ def test_exact_encode_forward_matches_plain():
     np.testing.assert_allclose(
         np.asarray(exact_encode(enc, table, x, u)),
         np.asarray(enc(table, x)), atol=1e-5)
+
+
+def test_lattice_exact_bwd_matches_autodiff_oracle():
+    """hash_mode=lattice exact backward (cell-row scatter + static roll
+    reduce) == jax.grad through the actual lattice forward
+    (make_cell_table + cell_encode), including boundary cells."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synerfgine_tpu.nn.hash_encoding import HashEncoding, exact_encode
+
+    enc = HashEncoding(n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=8, base_resolution=4,
+                       per_level_scale=1.7, hash_mode="lattice")
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    table = enc.init(k1, scale=0.5)
+    # include exact-boundary positions (0 and 1) to pin clamp semantics
+    x = jnp.concatenate([
+        jax.random.uniform(k2, (48, 3)),
+        jnp.zeros((4, 3)), jnp.ones((4, 3)),
+    ])
+    u = jax.random.uniform(k3, (enc.n_levels, x.shape[0]))
+    cot = jax.random.normal(jax.random.fold_in(key, 9),
+                            (x.shape[0], enc.n_output_dims))
+
+    def loss_exact(t):
+        return jnp.sum(exact_encode(enc, t, x, u) * cot)
+
+    def loss_oracle(t):
+        return jnp.sum(enc.cell_encode(enc.make_cell_table(t), x) * cot)
+
+    g_exact = jax.grad(loss_exact)(table)
+    g_oracle = jax.grad(loss_oracle)(table)
+    np.testing.assert_allclose(np.asarray(g_exact), np.asarray(g_oracle),
+                               atol=1e-5, rtol=1e-5)
