@@ -25,6 +25,7 @@ from __future__ import annotations
 import pathlib
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
@@ -186,7 +187,27 @@ def _variants(tr, state):
 
         return jax.jit(run)
 
-    exact_net = None  # created lazily to reuse setup
+    def v_fb_net(alt_net, params, key):
+        """fb_seg with an alternate network (lattice / exact modes);
+        same param pytree shapes, so tr's params are reused."""
+        samples, comp_in, xs_unit, grad_u, texel = sample_and_march(key)
+
+        def loss_fn(p):
+            out = alt_net.forward(p, xs_unit, comp_in.dirs, grad_u=grad_u)
+            comp = composite_compacted(out, comp_in, R, 1e-4)
+            pred = comp.rgb + comp.transmittance[:, None]
+            target = texel[:, :3] * texel[:, 3:] + (1.0 - texel[:, 3:])
+            return jnp.mean(tr.loss_fn(pred, target))
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        return l + jax.tree.reduce(
+            lambda a, b: a + jnp.sum(jnp.abs(b)) * 0, g, 0.0)
+
+    from synerfgine_tpu.nn.nerf_network import NerfNetwork
+
+    def alt(hash_mode, hash_grad):
+        return NerfNetwork(net.config, aabb_scale=tr.data.aabb_scale,
+                           hash_mode=hash_mode, hash_grad=hash_grad)
 
     variants = {
         "march": scanned(v_march),
@@ -195,6 +216,14 @@ def _variants(tr, state):
         "fwd": scanned(lambda p, k: dense_loss(p, k, True, False)),
         "fb": scanned(lambda p, k: dense_loss(p, k, True, True)),
         "fb_seg": scanned(v_fb_seg),
+        # the round-3 contenders, same harness (fb_seg form):
+        #   fbx      exact 8-corner backward, additive_x (chunked scatter)
+        #   lat_fb   lattice full-cell fwd + stochastic backward
+        #   lat_fbx  lattice fwd + lattice-exact backward (wide-row
+        #            cell scatter + static rolls)
+        "fbx": scanned(partial(v_fb_net, alt("additive_x", "exact"))),
+        "lat_fb": scanned(partial(v_fb_net, alt("lattice", "stochastic"))),
+        "lat_fbx": scanned(partial(v_fb_net, alt("lattice", "exact"))),
         "step": jax.jit(v_step),
     }
     return variants
@@ -239,6 +268,9 @@ def cmd_stages():
             print(f"optimizer            {med['step']-med['fb']:8.1f}")
         if "fb_seg" in med:
             print(f"fb_seg saves         {med['fb']-med['fb_seg']:8.1f}")
+        for n in ("fbx", "lat_fb", "lat_fbx"):
+            if n in med:
+                print(f"{n} vs fb_seg       {med[n]-med['fb_seg']:8.1f}")
 
 
 def cmd_gather64():
@@ -260,6 +292,31 @@ def cmd_gather64():
               f"table): {np.median(ts):7.1f} ms", flush=True)
 
 
+def cmd_scatterwide():
+    """Price the lattice-exact backward's wide-row scatter: 2M updates of
+    row width w into destinations of n rows (the <=4 MB rule measured in
+    round 2 was for 16 B rows; the cell scatter writes 128 B rows into a
+    64 MB destination)."""
+    key = jax.random.PRNGKey(0)
+    n_upd = 1 << 21
+    for width, rows in ((4, 1 << 18), (32, 1 << 15), (32, 1 << 18),
+                        (32, 1 << 19), (8, 1 << 19)):
+        dest_mb = rows * width * 4 >> 20
+        idx = jax.random.randint(key, (n_upd,), 0, rows)
+        val = jnp.ones((n_upd, width), jnp.float32)
+
+        @jax.jit
+        def s(idx, val):
+            return (jnp.zeros((rows, width), jnp.float32)
+                    .at[idx].add(val).sum())
+
+        ts = bench(s, idx, val, iters=3, warmup=1)
+        print(f"scatter 2M x {width*4:3d}B rows -> {dest_mb:4d} MB dest: "
+              f"{np.median(ts):7.1f} ms "
+              f"({np.median(ts)*1e6/n_upd:5.1f} ns/update)", flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "stages"
-    {"stages": cmd_stages, "gather64": cmd_gather64}[cmd]()
+    {"stages": cmd_stages, "gather64": cmd_gather64,
+     "scatterwide": cmd_scatterwide}[cmd]()
