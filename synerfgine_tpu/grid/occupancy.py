@@ -253,6 +253,65 @@ class OccupancyGrid:
         bits = jnp.stack(levels)
         return state._replace(bitfield=bits, mean_density=mean)
 
+    # ------------------------------------------------------- skip grid
+    def make_skip_grid(self, bitfield: jnp.ndarray,
+                       res: int = 32) -> jnp.ndarray:
+        """Conservative world-space empty-space map for the renderer's
+        coarse lookahead (march/windowed.py): one (res, res, res) bool
+        grid over the FULL aabb (side 2^max_cascade), true iff any
+        cascade has an occupied voxel in or ADJACENT to the cell
+        (3^3 dilation). Point-probes at stride <= cell size against this
+        grid can then prove whole stretches of a ray unoccupied: a probe
+        covers every position within one cell of itself, so consecutive
+        empty probes cover the segment between them. Cheap dense
+        pool/roll ops; rebuild whenever the bitfield changes."""
+        G = self.G
+        world = jnp.zeros((res, res, res), bool)
+        for c in range(self.n_cascades):
+            # cascade c (side 2^c, centered) spans the central
+            # res / 2^(max-c) cells of the world grid
+            span = res >> (self.max_cascade - c)
+            if span == 0:
+                # cascade finer than one world cell: collapse to the
+                # center 2^3 block
+                occ = jnp.any(bitfield[c])
+                q = res // 2
+                world = world.at[q - 1:q + 1, q - 1:q + 1,
+                                 q - 1:q + 1].max(occ)
+                continue
+            f = G // span
+            pooled = bitfield[c].reshape(span, f, span, f,
+                                         span, f).any((1, 3, 5))
+            o = (res - span) // 2
+            world = world.at[o:o + span, o:o + span,
+                             o:o + span].max(pooled)
+        # 3^3 dilation via shifted ORs
+        dil = world
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    if dx == dy == dz == 0:
+                        continue
+                    dil = dil | jnp.roll(world, (dx, dy, dz), (0, 1, 2))
+        # roll wraps across the box faces; faces are padded occupied on
+        # the wrapped-in slices only if the far face was occupied — the
+        # box boundary itself conservatively reads as its clamped cell,
+        # so wrap artifacts only ADD occupancy (safe).
+        return dil
+
+    def skip_occupied_at(self, skip: jnp.ndarray,
+                         pos: jnp.ndarray) -> jnp.ndarray:
+        """Probe the skip grid at NGP-space pos (..., 3); out-of-box
+        probes clamp to the boundary cell (conservative)."""
+        res = skip.shape[0]
+        ext = float(2 ** self.max_cascade)
+        p = (pos - 0.5) / ext + 0.5
+        cell = jnp.clip((p * res).astype(jnp.int32), 0, res - 1)
+        return skip[cell[..., 0], cell[..., 1], cell[..., 2]]
+
+    def skip_cell_size(self, res: int = 32) -> float:
+        return float(2 ** self.max_cascade) / res
+
     # ----------------------------------------------------------- queries
     def occupied_at(self, bitfield: jnp.ndarray, pos: jnp.ndarray,
                     mip: jnp.ndarray) -> jnp.ndarray:

@@ -86,8 +86,9 @@ class Engine:
         self._acc_cam = None
         self._paired_tbl = jax.jit(
             self.network.pos_encoding.make_paired_table)
+        self._skip_tbl = jax.jit(self.grid.make_skip_grid)
         self._nerf_chunk = jax.jit(self._render_nerf_chunk,
-                                   static_argnums=(7,))
+                                   static_argnums=(8,))
         self.timings: dict[str, float] = {}
 
         # dynamic resolution (testbed.cu:2909-2971): scale the NeRF pass
@@ -127,8 +128,8 @@ class Engine:
         return np.array([base * zoom, base * zoom], np.float32)
 
     # ----------------------------------------------------------- NeRF pass
-    def _render_nerf_chunk(self, params, paired_tbl, bitfield, uv, cm,
-                           focal, t_max, res):
+    def _render_nerf_chunk(self, params, paired_tbl, bitfield, skip_tbl,
+                           uv, cm, focal, t_max, res):
         """NeRF render stopping at the synthetic depth (trace_alt).
         `res` is static so dynamic resolution retraces correctly."""
         rays = cam.uv_to_ray(uv, cm, res, focal)
@@ -149,6 +150,7 @@ class Engine:
             self.tracer.cone_angle, None, dirs_warped,
             window=64, budget=min(uv.shape[0] * 16, 1 << 16),
             min_transmittance=RENDER_MIN_TRANSMITTANCE, t_max=t_max,
+            skip_grid=skip_tbl,
         )
         depth = jnp.where(comp.opacity > 0.01, comp.depth / jnp.maximum(comp.opacity, 1e-6), MAX_DEPTH)
         return comp.rgb, comp.opacity, depth, rays.o, d_norm
@@ -167,12 +169,13 @@ class Engine:
         uv_p = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
         t_p = jnp.concatenate([jnp.asarray(t_max_flat),
                                jnp.full((pad,), MAX_DEPTH)])
-        # aligned-pair table built once per frame, not per chunk
+        # aligned-pair + skip tables built once per frame, not per chunk
         paired_tbl = self._paired_tbl(self.params.hash_table)
+        skip_tbl = self._skip_tbl(self.grid_state.bitfield)
         for i in range(0, len(uv_p), chunk):
             rgb, a, dep, o, d = self._nerf_chunk(
                 self.params, paired_tbl, self.grid_state.bitfield,
-                jnp.asarray(uv_p[i:i + chunk]), jnp.asarray(cm),
+                skip_tbl, jnp.asarray(uv_p[i:i + chunk]), jnp.asarray(cm),
                 jnp.asarray(focal), t_p[i:i + chunk], (w, h))
             outs["rgb"].append(rgb); outs["alpha"].append(a)
             outs["depth"].append(dep); outs["o"].append(o); outs["d"].append(d)

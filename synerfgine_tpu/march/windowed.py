@@ -71,6 +71,8 @@ def render_march_windowed(
     min_transmittance: float = 1e-4,
     crop_mask: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
     t_max: jnp.ndarray | None = None,
+    skip_grid: jnp.ndarray | None = None,
+    skip_lookahead: int = 32,
 ) -> WindowedComposite:
     """rays.d must be normalized. `net_apply(xs_ngp, dirs_warped)` maps a
     compacted `(budget, 3)+(budget, 3)` batch to `(budget, 4)` raw
@@ -103,8 +105,32 @@ def render_march_windowed(
         alive = (T > min_transmittance) & (n_cur < n_lim)
         return (it < max_iters) & jnp.any(alive)
 
+    if skip_grid is not None:
+        cell = grid.skip_cell_size(skip_grid.shape[0])
+        probe_k = jnp.arange(skip_lookahead, dtype=jnp.float32)[None, :]
+        probe_ki = jnp.arange(skip_lookahead, dtype=jnp.int32)[None, :]
+
+    def coarse_skip(n_cur):
+        """Advance each cursor past its leading provably-empty stretch:
+        point-probe the dilated skip grid at world stride = one skip
+        cell; the first hit at probe j proves [cursor, cursor + j*cell]
+        unoccupied (each path point lies within one cell of an empty
+        dilated probe). Advances by WHOLE stepping units so the sample
+        lattice — and therefore the composite — is bit-identical to the
+        skipless march."""
+        t_cur = from_stepping_space(n_cur, cone_angle)
+        tp = t_cur[:, None] + cell * probe_k
+        pp = o[:, None, :] + d[:, None, :] * tp[..., None]
+        hit = grid.skip_occupied_at(skip_grid, pp)
+        first = jnp.min(jnp.where(hit, probe_ki, skip_lookahead),
+                        axis=1).astype(jnp.float32)
+        n_safe = to_stepping_space(t_cur + cell * first, cone_angle)
+        return n_cur + jnp.maximum(jnp.floor(n_safe - n_cur), 0.0)
+
     def body(state):
         it, n_cur, T, rgb, depth, opac, n_marched = state
+        if skip_grid is not None:
+            n_cur = coarse_skip(n_cur)
         alive = (T > min_transmittance) & (n_cur < n_lim)
         n = n_cur[:, None] + steps_f
         t = from_stepping_space(n, cone_angle)
@@ -118,10 +144,26 @@ def render_march_windowed(
         comp_in = compact_samples(
             GridSamples(t=t, dt=dt, xs=xs, valid=valid), dirs_warped, B)
 
-        out = jax.lax.cond(
-            comp_in.n_valid > 0,
-            lambda: net_apply(comp_in.xs, comp_in.dirs),
-            lambda: jnp.zeros((B, 4), jnp.float32),
+        # prefix-tiered network: compaction packs the valid samples at
+        # the front, so when the window is mostly empty the network only
+        # needs a prefix of the batch. Tiers keep shapes static (three
+        # compiled sizes); late-march iterations with a handful of alive
+        # rays stop paying the full-budget MLP+hash cost.
+        nv = jnp.minimum(comp_in.n_valid, B)
+
+        def run_prefix(nb):
+            def f():
+                out_p = net_apply(comp_in.xs[:nb], comp_in.dirs[:nb])
+                return jnp.concatenate(
+                    [out_p, jnp.zeros((B - nb, 4), jnp.float32)], axis=0)
+            return f
+
+        tiers = sorted({max(B // 16, 1), max(B // 4, 1), B})
+        branch = jnp.searchsorted(jnp.asarray([0] + tiers), nv)
+        out = jax.lax.switch(
+            branch,
+            [lambda: jnp.zeros((B, 4), jnp.float32)]
+            + [run_prefix(nb) for nb in tiers],
         )
         kept = comp_in.valid                              # (R, W) post-clip
 

@@ -820,7 +820,7 @@ class NerfTrainer:
                                xs - center) + center
             return render_aabb.contains(local)
 
-        def one_spp(p, pt, gbits, uv, key_s):
+        def one_spp(p, pt, gbits, sgrid, uv, key_s):
             R = uv.shape[0]
             if True:  # (indentation shim: body shared with the old loop)
                 k_uv, k_ap, k_m = jax.random.split(key_s, 3)
@@ -858,6 +858,7 @@ class NerfTrainer:
                         budget=min(chunk * 16, 1 << 16),
                         min_transmittance=min_transmittance,
                         crop_mask=crop_mask if rotated_crop else None,
+                        skip_grid=sgrid,
                     )
                     n_marched = comp.n_marched
                 else:
@@ -962,18 +963,18 @@ class NerfTrainer:
                     rgb = comp.rgb + comp.transmittance[:, None] * bg_r
                 return rgb, comp.opacity, comp.depth
 
-        def render_chunk_impl(p, pt, gbits, uv, key):
+        def render_chunk_impl(p, pt, gbits, sgrid, uv, key):
             # one spp per fori iteration. The old Python loop unrolled
             # spp complete march+network copies into a single program;
             # at spp 8 (the eval protocol) the TPU compiler ran out of
             # temp space. The rolled loop compiles one body and reuses
             # its buffers.
             if spp == 1:
-                return one_spp(p, pt, gbits, uv, key)
+                return one_spp(p, pt, gbits, sgrid, uv, key)
             R = uv.shape[0]
 
             def body(s, acc):
-                r, a, d = one_spp(p, pt, gbits, uv,
+                r, a, d = one_spp(p, pt, gbits, sgrid, uv,
                                   jax.random.fold_in(key, s))
                 return (acc[0] + r, acc[1] + a, acc[2] + d)
 
@@ -985,6 +986,11 @@ class NerfTrainer:
         # aligned-pair table built once per frame, not per chunk
         paired_tbl = jax.jit(self.network.pos_encoding.make_paired_table)(
             params.hash_table)
+        # dilated empty-space skip grid, also once per frame: the
+        # windowed march's coarse lookahead proves empty stretches
+        # unoccupied with ~cell-sized strides instead of per-step probes
+        skip_tbl = (jax.jit(self.grid.make_skip_grid)(gbits)
+                    if use_grid else None)
         n_px = uv_all.shape[0]
         if mesh is not None:
             from jax.experimental.shard_map import shard_map
@@ -1000,24 +1006,27 @@ class NerfTrainer:
             # byte-offset seeds identical to the serial loop below
             seeds = jnp.arange(n_chunks, dtype=jnp.uint32) * chunk + seed
 
-            def dev_body(p, pt, gb, uvs, sds):
+            def dev_body(p, pt, gb, sg, uvs, sds):
                 def one(args):
                     uv_c, sd = args
                     return render_chunk_impl(
-                        p, pt, gb, uv_c, jax.random.PRNGKey(sd))
+                        p, pt, gb, sg, uv_c, jax.random.PRNGKey(sd))
 
                 return jax.lax.map(one, (uvs, sds))
 
-            spec_in = (P(), P(), P(), P("data"), P("data"))
+            spec_in = (P(), P(), P(), P(), P("data"), P("data"))
             fan = jax.jit(shard_map(
                 dev_body, mesh=mesh, in_specs=spec_in,
                 out_specs=(P("data"), P("data"), P("data")),
                 check_rep=False))
             if gbits is None:
                 gbits_arg = jnp.zeros((), jnp.float32)  # placeholder leaf
+                skip_arg = jnp.zeros((), jnp.float32)
             else:
                 gbits_arg = gbits
-            r, a, d = fan(params, paired_tbl, gbits_arg, uv_chunks, seeds)
+                skip_arg = skip_tbl
+            r, a, d = fan(params, paired_tbl, gbits_arg, skip_arg,
+                          uv_chunks, seeds)
             rgb = np.asarray(r).reshape(-1, 3)[:n_px].reshape(h, w, 3)
             alpha = np.asarray(a).reshape(-1)[:n_px].reshape(h, w)
             depth = np.asarray(d).reshape(-1)[:n_px].reshape(h, w)
@@ -1031,8 +1040,8 @@ class NerfTrainer:
         uv_pad = np.concatenate([uv_all, np.zeros((pad, 2), np.float32)])
         for i in range(0, uv_pad.shape[0], chunk):
             uv = jnp.asarray(uv_pad[i : i + chunk])
-            r, a, d = render_chunk(params, paired_tbl, gbits, uv,
-                                   jax.random.PRNGKey(seed + i))
+            r, a, d = render_chunk(params, paired_tbl, gbits, skip_tbl,
+                                   uv, jax.random.PRNGKey(seed + i))
             rgbs.append(np.asarray(r))
             alphas.append(np.asarray(a))
             depths.append(np.asarray(d))

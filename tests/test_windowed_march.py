@@ -139,3 +139,75 @@ def test_normalized_depth_is_surface_distance(scene):
     if translucent.sum():
         raw = np.asarray(wc.depth)
         assert np.all(raw[translucent] < d_norm[translucent])
+
+
+def test_skip_grid_is_output_invariant():
+    """The coarse empty-space lookahead advances by whole stepping units
+    past provably-empty stretches, so the composited sample SET is
+    identical with and without the skip grid (values to fp32 rounding) — on a sparse scene
+    where the skip actually fires (sky rays + a small occupied blob)."""
+    aabb = scene_aabb(1)
+    grid = OccupancyGrid(1)
+    G = grid.G
+    bf = np.zeros((grid.n_cascades, G, G, G), bool)
+    bf[0, 70:86, 40:60, 58:74] = True        # one blob
+    bitfield = jnp.asarray(bf)
+    key = jax.random.PRNGKey(3)
+    k_o, k_t = jax.random.split(key)
+    o = jnp.stack([
+        jnp.full((64,), -0.8),
+        jax.random.uniform(k_o, (64,), minval=0.0, maxval=1.0),
+        jax.random.uniform(k_t, (64,), minval=0.0, maxval=1.0),
+    ], axis=-1)
+    # half the rays aim at the blob, half at open sky
+    tgt_blob = jnp.array([78.0 / G, 50.0 / G, 66.0 / G])
+    tgt_sky = jnp.array([0.5, 0.05, 0.05])
+    tgt = jnp.where((jnp.arange(64) % 2 == 0)[:, None], tgt_blob, tgt_sky)
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(o, d)
+    dirs_warped = (d + 1.0) * 0.5
+
+    skip = grid.make_skip_grid(bitfield)
+    assert float(jnp.mean(skip)) < 0.5, "skip grid saturated; test is void"
+
+    base = jax.jit(lambda: render_march_windowed(
+        rays, aabb, grid, bitfield, fake_net, 1024, 0.0, None, dirs_warped,
+        window=64, budget=4096))()
+    skp = jax.jit(lambda: render_march_windowed(
+        rays, aabb, grid, bitfield, fake_net, 1024, 0.0, None, dirs_warped,
+        window=64, budget=4096, skip_grid=skip))()
+    # identical sample SET (integer count matches exactly); float sums
+    # regroup across iteration boundaries, so values match to fp32 noise
+    np.testing.assert_array_equal(np.asarray(skp.n_marched),
+                                  np.asarray(base.n_marched))
+    np.testing.assert_allclose(np.asarray(skp.rgb), np.asarray(base.rgb),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(skp.depth),
+                               np.asarray(base.depth), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(skp.opacity),
+                               np.asarray(base.opacity), atol=2e-5)
+    # the skip must actually engage: same marched-sample counts, but
+    # fewer loop iterations is not observable here — instead check the
+    # skip grid covers the blob and not the sky corridor
+    assert bool(skip[skip.shape[0] // 2, 1, 1]) is False
+
+
+def test_skip_grid_conservative_superset():
+    """Every occupied fine voxel must map into a true skip cell (with
+    dilation margin) — the safety property the lookahead relies on."""
+    grid = OccupancyGrid(2)    # two cascades
+    G = grid.G
+    rng = np.random.default_rng(11)
+    bf = rng.uniform(size=(grid.n_cascades, G, G, G)) < 0.002
+    bitfield = jnp.asarray(bf)
+    skip = np.asarray(grid.make_skip_grid(bitfield))
+    S = skip.shape[0]
+    ext = 2.0 ** grid.max_cascade
+    for c in range(grid.n_cascades):
+        xs, ys, zs = np.nonzero(bf[c])
+        # voxel centers of cascade c in NGP space
+        side = 2.0 ** c
+        p = (np.stack([xs, ys, zs], -1) + 0.5) / G * side + (0.5 - side / 2)
+        cell = np.clip((((p - 0.5) / ext + 0.5) * S).astype(int), 0, S - 1)
+        assert skip[cell[:, 0], cell[:, 1], cell[:, 2]].all()
