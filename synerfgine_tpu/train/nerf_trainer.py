@@ -737,6 +737,18 @@ class NerfTrainer:
         return state, losses
 
     # ------------------------------------------------------------ rendering
+    def _memo_render_jit(self, key, build):
+        """Cache jitted render programs across render_image calls (one
+        per static configuration): per-view calls then reuse one traced
+        executable instead of re-jitting a fresh closure every view."""
+        cache = getattr(self, "_render_jits", None)
+        if cache is None:
+            cache = {}
+            self._render_jits = cache
+        if key not in cache:
+            cache[key] = build()
+        return cache[key]
+
     def render_image(
         self,
         params: NerfParams,
@@ -812,6 +824,24 @@ class NerfTrainer:
                       else self.aabb)
         mode = render_mode.lower()
 
+        # one compiled renderer per STATIC configuration, reused across
+        # views/frames: the camera matrix and focal are traced arguments,
+        # not baked constants, so per-view calls hit the same executable
+        # (previously every view re-jitted a fresh closure with cm baked
+        # in => one remote AOT compile per eval view)
+        jit_key = (
+            w, h, spp, chunk, mode, n_steps, use_grid,
+            float(min_transmittance), float(aperture_size), float(focus_z),
+            float(slice_plane_z), rotated_crop,
+            bool(snap_to_pixel_centers),
+            tuple(np.asarray(bg_color, np.float32).ravel().tolist()),
+            None if render_aabb is None else (
+                tuple(np.asarray(render_aabb.lo).ravel().tolist()),
+                tuple(np.asarray(render_aabb.hi).ravel().tolist()),
+                None if render_aabb_to_local is None else
+                tuple(np.asarray(render_aabb_to_local).ravel().tolist())),
+        )
+
         def crop_mask(xs):
             if not rotated_crop:
                 return None
@@ -820,7 +850,7 @@ class NerfTrainer:
                                xs - center) + center
             return render_aabb.contains(local)
 
-        def one_spp(p, pt, gbits, sgrid, uv, key_s):
+        def one_spp(p, pt, gbits, sgrid, cm, focal_r, uv, key_s):
             R = uv.shape[0]
             if True:  # (indentation shim: body shared with the old loop)
                 k_uv, k_ap, k_m = jax.random.split(key_s, 3)
@@ -829,7 +859,7 @@ class NerfTrainer:
                     uv_s = uv + (jax.random.uniform(k_uv, uv.shape) - 0.5) / jnp.asarray([w, h])
                 ap_uv = (jax.random.uniform(k_ap, (R, 2))
                          if aperture_size > 0 else None)
-                rays = cam.uv_to_ray(uv_s, cm, (w, h), focal_render, self.pp,
+                rays = cam.uv_to_ray(uv_s, cm, (w, h), focal_r, self.pp,
                                      aperture_size=aperture_size,
                                      focus_z=focus_z, aperture_uv=ap_uv,
                                      lens=self.lens)
@@ -963,18 +993,18 @@ class NerfTrainer:
                     rgb = comp.rgb + comp.transmittance[:, None] * bg_r
                 return rgb, comp.opacity, comp.depth
 
-        def render_chunk_impl(p, pt, gbits, sgrid, uv, key):
+        def render_chunk_impl(p, pt, gbits, sgrid, cm, focal_r, uv, key):
             # one spp per fori iteration. The old Python loop unrolled
             # spp complete march+network copies into a single program;
             # at spp 8 (the eval protocol) the TPU compiler ran out of
             # temp space. The rolled loop compiles one body and reuses
             # its buffers.
             if spp == 1:
-                return one_spp(p, pt, gbits, sgrid, uv, key)
+                return one_spp(p, pt, gbits, sgrid, cm, focal_r, uv, key)
             R = uv.shape[0]
 
             def body(s, acc):
-                r, a, d = one_spp(p, pt, gbits, sgrid, uv,
+                r, a, d = one_spp(p, pt, gbits, sgrid, cm, focal_r, uv,
                                   jax.random.fold_in(key, s))
                 return (acc[0] + r, acc[1] + a, acc[2] + d)
 
@@ -1006,19 +1036,22 @@ class NerfTrainer:
             # byte-offset seeds identical to the serial loop below
             seeds = jnp.arange(n_chunks, dtype=jnp.uint32) * chunk + seed
 
-            def dev_body(p, pt, gb, sg, uvs, sds):
+            def dev_body(p, pt, gb, sg, cmx, fr, uvs, sds):
                 def one(args):
                     uv_c, sd = args
                     return render_chunk_impl(
-                        p, pt, gb, sg, uv_c, jax.random.PRNGKey(sd))
+                        p, pt, gb, sg, cmx, fr, uv_c,
+                        jax.random.PRNGKey(sd))
 
                 return jax.lax.map(one, (uvs, sds))
 
-            spec_in = (P(), P(), P(), P(), P("data"), P("data"))
-            fan = jax.jit(shard_map(
-                dev_body, mesh=mesh, in_specs=spec_in,
-                out_specs=(P("data"), P("data"), P("data")),
-                check_rep=False))
+            spec_in = (P(), P(), P(), P(), P(), P(), P("data"), P("data"))
+            fan = self._memo_render_jit(
+                jit_key + ("mesh", id(mesh)),
+                lambda: jax.jit(shard_map(
+                    dev_body, mesh=mesh, in_specs=spec_in,
+                    out_specs=(P("data"), P("data"), P("data")),
+                    check_rep=False)))
             if gbits is None:
                 gbits_arg = jnp.zeros((), jnp.float32)  # placeholder leaf
                 skip_arg = jnp.zeros((), jnp.float32)
@@ -1026,7 +1059,7 @@ class NerfTrainer:
                 gbits_arg = gbits
                 skip_arg = skip_tbl
             r, a, d = fan(params, paired_tbl, gbits_arg, skip_arg,
-                          uv_chunks, seeds)
+                          cm, focal_render, uv_chunks, seeds)
             rgb = np.asarray(r).reshape(-1, 3)[:n_px].reshape(h, w, 3)
             alpha = np.asarray(a).reshape(-1)[:n_px].reshape(h, w)
             depth = np.asarray(d).reshape(-1)[:n_px].reshape(h, w)
@@ -1034,14 +1067,16 @@ class NerfTrainer:
                 rgb = apply_overlay(rgb, overlay, overlay_image,
                                     overlay_alpha, error_map_view)
             return {"rgb": rgb, "alpha": alpha, "depth": depth}
-        render_chunk = jax.jit(render_chunk_impl)
+        render_chunk = self._memo_render_jit(
+            jit_key, lambda: jax.jit(render_chunk_impl))
         rgbs, alphas, depths = [], [], []
         pad = (-n_px) % chunk
         uv_pad = np.concatenate([uv_all, np.zeros((pad, 2), np.float32)])
         for i in range(0, uv_pad.shape[0], chunk):
             uv = jnp.asarray(uv_pad[i : i + chunk])
             r, a, d = render_chunk(params, paired_tbl, gbits, skip_tbl,
-                                   uv, jax.random.PRNGKey(seed + i))
+                                   cm, focal_render, uv,
+                                   jax.random.PRNGKey(seed + i))
             rgbs.append(np.asarray(r))
             alphas.append(np.asarray(a))
             depths.append(np.asarray(d))
