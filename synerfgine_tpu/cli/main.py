@@ -68,6 +68,7 @@ def _build_trainer(args, dataset):
         train_distortion=getattr(args, "train_distortion", False),
         n_extra_dims=getattr(args, "n_extra_dims", 0),
         depth_supervision_lambda=getattr(args, "depth_lambda", 0.0),
+        march_skip_steps=getattr(args, "march_skip", 0),
         scan_block_steps=getattr(args, "scan_block", None),
         sharpness_weighted=getattr(args, "sharpness_weighted", False),
     )
@@ -467,6 +468,10 @@ def main(argv=None):
                          "to this directory before training")
     sp.add_argument("--depth-lambda", type=float, default=0.0,
                     help="depth-supervision weight")
+    sp.add_argument("--march-skip", type=int, default=0,
+                    help="coarse first-hit pre-pass + dense march of this "
+                         "many steps (0 = full 1024-step march); the "
+                         "steps must cover the scene's occupied span")
     sp.add_argument("--hash-grad", default="stochastic",
                     choices=["stochastic", "exact"],
                     help="hash-table backward: unbiased single-corner "

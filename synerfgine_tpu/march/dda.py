@@ -101,6 +101,67 @@ def march_rays_grid(
     return GridSamples(t=t, dt=dt, xs=xs, valid=valid)
 
 
+def march_rays_grid_skip(
+    rays: Ray,
+    aabb: BoundingBox,
+    grid: OccupancyGrid,
+    bitfield: jnp.ndarray,
+    skip_grid: jnp.ndarray,
+    n_steps: int,
+    cone_angle: float = 0.0,
+    key: jax.Array | None = None,
+) -> GridSamples:
+    """march_rays_grid with a coarse first-hit pre-pass: probe the
+    dilated skip grid (grid.make_skip_grid) at cell-sized strides along
+    each ray and start the dense (R, n_steps) march at the last probe
+    before the first coarse hit. The probe lattice is conservative (a
+    run of empty dilated probes proves the stretch unoccupied — see
+    make_skip_grid), and the cursor advances by WHOLE stepping units, so
+    the valid-sample set equals the full march's for every sample within
+    `n_steps` of the advanced start. Lets training run n_steps < 1024
+    without losing leading-object samples: the saved steps are the
+    empty space between the box entry and the first occupied region.
+
+    CAVEAT: a ray whose occupied span exceeds n_steps steps after its
+    first coarse hit loses its tail samples (the full 1024-step march
+    from the box entry has the same cap, measured from entry instead);
+    callers choose n_steps per scene bound."""
+    o, d = rays.o, rays.d
+    R = o.shape[0]
+    tmin, tmax = aabb.ray_intersect(o, d)
+    tstart = jnp.maximum(jnp.maximum(tmin, 0.0), 1e-4)
+    cell = grid.skip_cell_size(skip_grid.shape[0])
+    # probes spanning the longest possible in-box path (box diagonal)
+    M = int(math.ceil(math.sqrt(3.0) * skip_grid.shape[0])) + 1
+    ks = jnp.arange(M, dtype=jnp.float32)
+    tp = tstart[:, None] + cell * ks[None, :]
+    pp = o[:, None, :] + d[:, None, :] * tp[..., None]
+    hit = (grid.skip_occupied_at(skip_grid, pp)
+           & (tp < tmax[:, None] + cell))
+    first = jnp.min(jnp.where(hit, ks, float(M)), axis=1)
+    t_skip = tstart + cell * jnp.maximum(first - 1.0, 0.0)
+
+    if key is not None:
+        jitter = jax.random.uniform(key, (R,))
+    else:
+        jitter = 0.5
+    n0 = to_stepping_space(tstart, cone_angle) + jitter
+    # advance by whole units so the sample lattice matches the
+    # unskipped march
+    n_sk = to_stepping_space(t_skip, cone_angle)
+    n0 = n0 + jnp.maximum(jnp.floor(n_sk - n0), 0.0)
+
+    i = jnp.arange(n_steps, dtype=jnp.float32)[None, :]
+    n = n0[:, None] + i
+    t = from_stepping_space(n, cone_angle)
+    dt = from_stepping_space(n + 1.0, cone_angle) - t
+    xs = o[:, None, :] + d[:, None, :] * t[..., None]
+    mip = mip_from_dt(dt, xs, grid.max_cascade)
+    occ = grid.occupied_at(bitfield, xs, mip)
+    valid = occ & (t < tmax[:, None]) & aabb.contains(xs)
+    return GridSamples(t=t, dt=dt, xs=xs, valid=valid)
+
+
 class CompactedSamples(NamedTuple):
     xs: jnp.ndarray        # (S, 3)
     dirs: jnp.ndarray      # (S, 3) warped directions

@@ -38,6 +38,7 @@ from ..march.dda import (
     compact_samples,
     compact_samples_segmented,
     march_rays_grid,
+    march_rays_grid_skip,
     scatter_back,
 )
 from ..march.fixed import sample_fixed_steps
@@ -159,6 +160,7 @@ class NerfTrainer:
         sharpness_weighted: bool = False,
         remat: bool = False,
         compacted_composite: bool = True,
+        march_skip_steps: int = 0,
         spmd_axis: str | None = None,
         n_shards: int = 1,
     ):
@@ -195,6 +197,11 @@ class NerfTrainer:
         # (tests/test_compacted_composite.py), ~16x fewer HBM
         # transactions in the composite stage
         self.compacted_composite = compacted_composite
+        # march_skip_steps > 0: coarse first-hit pre-pass + a SHORTER
+        # dense march (march_rays_grid_skip) — the saved steps are the
+        # empty space before the first occupied region. Steps must cover
+        # the scene's largest occupied span along any ray.
+        self.march_skip_steps = march_skip_steps
         # SPMD data parallelism (SURVEY.md §2.4 "first-class" row): when
         # spmd_axis is set, the SAME step functions below run per-shard
         # inside shard_map — rays/batch divided by n_shards, gradients
@@ -426,17 +433,25 @@ class NerfTrainer:
         net_apply = jax.checkpoint(net_fn) if self.remat else net_fn
 
         if self.use_grid:
-            samples = march_rays_grid(
-                rays, self.aabb, self.grid, bitfield,
-                self.n_march_steps, self.cone_angle, k_march,
-            )
+            if self.march_skip_steps > 0:
+                samples = march_rays_grid_skip(
+                    rays, self.aabb, self.grid, bitfield,
+                    self.grid.make_skip_grid(bitfield),
+                    self.march_skip_steps, self.cone_angle, k_march,
+                )
+            else:
+                samples = march_rays_grid(
+                    rays, self.aabb, self.grid, bitfield,
+                    self.n_march_steps, self.cone_angle, k_march,
+                )
             if self.segment_compaction:
                 comp_in = compact_samples_segmented(
                     samples, dirs_warped, batch_size)
             else:
                 comp_in = compact_samples(samples, dirs_warped,
                                           batch_size)
-            K = self.n_march_steps
+            K = (self.march_skip_steps if self.march_skip_steps > 0
+                 else self.n_march_steps)
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(
                 k_u, (self.network.pos_encoding.n_levels, batch_size))

@@ -211,3 +211,41 @@ def test_skip_grid_conservative_superset():
         p = (np.stack([xs, ys, zs], -1) + 0.5) / G * side + (0.5 - side / 2)
         cell = np.clip((((p - 0.5) / ext + 0.5) * S).astype(int), 0, S - 1)
         assert skip[cell[:, 0], cell[:, 1], cell[:, 2]].all()
+
+
+def test_march_skip_same_sample_set():
+    """march_rays_grid_skip with n_steps == K must produce exactly the
+    valid-sample set of the full march (the skip only removes leading
+    provably-empty steps, advancing by whole stepping units), and with a
+    shorter n_steps it must still capture every sample of a compact
+    scene (the blob fits well inside the shortened window)."""
+    from synerfgine_tpu.march.dda import march_rays_grid, march_rays_grid_skip
+
+    aabb = scene_aabb(1)
+    grid = OccupancyGrid(1)
+    G = grid.G
+    bf = np.zeros((grid.n_cascades, G, G, G), bool)
+    bf[0, 60:80, 50:70, 55:75] = True
+    bitfield = jnp.asarray(bf)
+    skip = grid.make_skip_grid(bitfield)
+
+    key = jax.random.PRNGKey(5)
+    o = jnp.stack([
+        jnp.full((32,), -0.6),
+        jax.random.uniform(key, (32,), minval=0.1, maxval=0.9),
+        jax.random.uniform(jax.random.fold_in(key, 1), (32,),
+                           minval=0.1, maxval=0.9),
+    ], -1)
+    tgt = jnp.array([70.0 / G, 60.0 / G, 65.0 / G])
+    d = tgt - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays = Ray(o, d)
+
+    full = march_rays_grid(rays, aabb, grid, bitfield, 1024, 0.0, None)
+    for n_steps in (1024, 640):
+        sk = march_rays_grid_skip(rays, aabb, grid, bitfield, skip,
+                                  n_steps, 0.0, None)
+        t_full = np.sort(np.asarray(full.t[full.valid]))
+        t_skip = np.sort(np.asarray(sk.t[sk.valid]))
+        np.testing.assert_array_equal(t_skip, t_full)
+    assert int(jnp.sum(full.valid)) > 0
