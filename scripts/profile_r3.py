@@ -22,6 +22,7 @@ Run:  python scripts/profile_r3.py stages
 """
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 import time
@@ -39,7 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 LEGO = "/root/reference/data/nerf/lego"
-SNAP = "/tmp/milestone/lego_ds1/model.sng"
+SNAP = os.environ.get(
+    "PROFILE_SNAPSHOT",
+    "/root/repo/docs/experiments/ab_r3/base_ds2/model.sng")
 R, SCAN = 4096, 8
 
 
