@@ -28,14 +28,20 @@ def evaluate_views(
 
     spp defaults to 8 — the reference protocol (run.py:231 renders eval
     views at 8 samples per pixel with min_transmittance 1e-4)."""
+    import sys
+    import time
+
     results = []
     n = dataset.n_images if n_views is None else min(n_views, dataset.n_images)
     for i in range(n):
+        t0 = time.time()
         out = trainer.render_image(
             params, dataset.xforms[i], width=width, height=height,
             grid_state=grid_state, n_steps=n_steps, bg_color=(0.0, 0.0, 0.0),
             spp=spp, chunk=chunk,
         )
+        print(f"view {i}: rendered in {time.time() - t0:.1f}s",
+              file=sys.stderr, flush=True)
         gt = dataset.images[i].astype(np.float32) / 255.0
         if width and (gt.shape[1] != width or gt.shape[0] != height):
             from PIL import Image
