@@ -209,7 +209,7 @@ def _variants(tr, state):
     from synerfgine_tpu.nn.nerf_network import NerfNetwork
 
     def alt(hash_mode, hash_grad):
-        return NerfNetwork(net.config, aabb_scale=tr.data.aabb_scale,
+        return NerfNetwork(net.config, aabb_scale=tr.grid.aabb_scale,
                            hash_mode=hash_mode, hash_grad=hash_grad)
 
     variants = {

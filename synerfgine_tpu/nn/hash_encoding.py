@@ -594,7 +594,24 @@ def _lattice_exact_bwd(enc: HashEncoding, x, g):
             fd = f[:, None, d].astype(jnp.float32)
             w = w * jnp.where(corners[None, :, d] == 1, fd, 1.0 - fd)
         wg = (w[:, :, None] * g[l][:, None, :]).reshape(N, C * F)
-        buf = jnp.zeros((size, C * F), jnp.float32).at[row].add(wg)
+        # scatter-add is ~27 ns/update while the destination stays
+        # <= 2^18 ROWS and ~99 ns above (measured, PERF.md round 3 —
+        # the cutoff is row count, not bytes); chunk big levels
+        RMAX = 1 << 18
+        if size <= RMAX:
+            buf = jnp.zeros((size, C * F), jnp.float32).at[row].add(wg)
+        else:
+            parts_b = []
+            for j in range(0, size, RMAX):
+                n_rows = min(RMAX, size - j)
+                local = row - j
+                ok = (local >= 0) & (local < n_rows)
+                tgt = jnp.where(ok, local, n_rows)
+                parts_b.append(
+                    jnp.zeros((n_rows + 1, C * F), jnp.float32)
+                    .at[tgt].add(jnp.where(ok[:, None], wg, 0.0),
+                                 mode="drop")[:n_rows])
+            buf = jnp.concatenate(parts_b, axis=0)
         acc = jnp.zeros((size, F), jnp.float32)
         for ci in range(C):
             o = int(sum(int(cd) * s for cd, s in
