@@ -67,10 +67,11 @@ def main():
                "--eval-views", str(args.eval_views),
                "--budget-s", str(per_budget),
                "--dir", str(OUT)]
+        # "=" form: argparse rejects option-like values otherwise
         if v["train"]:
-            cmd += ["--train-args", v["train"]]
+            cmd += [f"--train-args={v['train']}"]
         if v["eval"]:
-            cmd += ["--eval-args", v["eval"]]
+            cmd += [f"--eval-args={v['eval']}"]
         print(f"[{name}] {' '.join(cmd)}", file=sys.stderr)
         subprocess.run(cmd, cwd=REPO)
 
