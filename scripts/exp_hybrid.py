@@ -50,7 +50,11 @@ def main():
         # REAL trained lego state: representative march + shadow-DDA cost
         from synerfgine_tpu.io.snapshot import load_snapshot
 
-        snap = load_snapshot(snap_path)
+        snap = load_snapshot(snap_path, hash_version=None)
+        hv_mode = {1: "xor", 2: "additive_x", 3: "lattice"}
+        net = NerfNetwork(cfg, aabb_scale=1,
+                          hash_mode=hv_mode.get(snap["hash_version"],
+                                                "additive_x"))
         ref = net.init(jax.random.PRNGKey(0))
         params = jax.tree.unflatten(
             jax.tree.structure(ref),
