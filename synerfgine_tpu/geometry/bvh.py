@@ -21,7 +21,12 @@ from .triangle import ray_triangles_intersect, ray_triangles_any_hit
 
 LEAF_SIZE = 4
 STACK_DEPTH = 48
-BRUTE_FORCE_MAX_TRIS = 4096
+# Above this the packed world carries BVH node arrays and tracing
+# traverses them; below it the tracer uses the dense (rays x tris)
+# brute force. 512 (was 4096): at 720p+ with distribution-RT shadow
+# samples the (R*S, T) brute-force temps OOM'd the chip for ~1k-tri
+# meshes, and BVH traversal keeps memory flat.
+BRUTE_FORCE_MAX_TRIS = 512
 
 
 def bvh_node_depth(left: np.ndarray, right: np.ndarray) -> int:
