@@ -180,11 +180,29 @@ def compact_samples(
     samples: GridSamples,
     dirs_warped: jnp.ndarray,   # (R, 3)
     batch_size: int,
+    whole_rays: bool = False,
 ) -> CompactedSamples:
     """Scatter cost is per-update on TPU (~20 ns), so compaction scatters
     ONE int32 inverse-index array and fetches the payload (xs/dt/dirs)
-    with cheap gathers instead of scattering each payload tensor."""
+    with cheap gathers instead of scattering each payload tensor.
+
+    whole_rays=True (TRAINING): capacity overflow drops ENTIRE rays,
+    never a ray's tail — the reference's atomic reservation semantics
+    (`base = atomicAdd(...); if (base + numsteps > max_samples) return;`
+    testbed_nerf.cu:960-968). A tail-truncated ray composites its
+    visible prefix against the full pixel target with background
+    bleeding through the amputated far content — training on such rays
+    every step diffuses density into fog (observed: lego ds1 regressed
+    25.2 -> 23.6 dB between steps 512 and 1024 with ~30% steady-state
+    clipping from the adaptive-ray bucket overshoot). The renderer
+    keeps whole_rays=False: its windowed march re-marches clipped
+    samples, so suffix clipping is lossless there."""
     R, K = samples.valid.shape
+    demand = jnp.sum(samples.valid).astype(jnp.int32)  # pre-drop feedback
+    if whole_rays:
+        counts = jnp.sum(samples.valid, axis=1)          # (R,)
+        fits = jnp.cumsum(counts) <= batch_size           # (R,)
+        samples = samples._replace(valid=samples.valid & fits[:, None])
     flat_valid = samples.valid.reshape(-1)
     pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
     keep = flat_valid & (pos < batch_size)
@@ -200,7 +218,7 @@ def compact_samples(
     t = samples.t.reshape(R * K)[inv]
     ray_of = inv // K
     dirs = dirs_warped[ray_of]
-    n_valid = pos[-1] + 1
+    n_filled = pos[-1] + 1
     return CompactedSamples(
         xs=xs,
         dirs=dirs,
@@ -209,9 +227,11 @@ def compact_samples(
         ray_idx=ray_of,
         target_slot=slot,
         valid=keep.reshape(R, K),
-        n_valid=n_valid,
+        # feedback reports the pre-drop demand (the reference's counter
+        # includes skipped rays' reservations, testbed_nerf.cu:3292)
+        n_valid=demand,
         slot_valid=jnp.arange(batch_size, dtype=jnp.int32)
-        < jnp.minimum(n_valid, batch_size),
+        < jnp.minimum(n_filled, batch_size),
     )
 
 
@@ -227,6 +247,7 @@ def compact_samples_segmented(
     dirs_warped: jnp.ndarray,   # (R, 3)
     batch_size: int,
     seg: int = 8,
+    whole_rays: bool = False,
 ) -> CompactedSamples:
     """Segment-granular compaction: prefix-sum/scatter run over K/seg
     segments instead of K samples (8x fewer compaction elements — the
@@ -241,6 +262,16 @@ def compact_samples_segmented(
     n_slots = batch_size // seg
 
     seg_valid = samples.valid.reshape(R, S, seg).any(-1)        # (R, S)
+    # pre-drop demand for the adaptive-ray feedback (see compact_samples)
+    demand = jnp.sum(samples.valid & seg_valid.reshape(R, S, 1)
+                     .repeat(seg, 2).reshape(R, K)).astype(jnp.int32)
+    if whole_rays:
+        # whole-ray atomic reservation (reference semantics,
+        # testbed_nerf.cu:960-968): a ray whose segments don't all fit
+        # contributes NOTHING — no tail-truncated rays in training
+        seg_counts = jnp.sum(seg_valid, axis=1)                 # (R,)
+        fits = jnp.cumsum(seg_counts) <= n_slots                # (R,)
+        seg_valid = seg_valid & fits[:, None]
     flat = seg_valid.reshape(-1)
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     keep = flat & (pos < n_slots)
@@ -281,8 +312,6 @@ def compact_samples_segmented(
         ray_idx=ray_of.astype(jnp.int32),
         target_slot=target,
         valid=valid,
-        n_valid=jnp.sum(samples.valid & (seg_valid.reshape(R, S, 1)
-                                         .repeat(seg, 2)
-                                         .reshape(R, K))).astype(jnp.int32),
+        n_valid=demand,
         slot_valid=slot_valid,
     )

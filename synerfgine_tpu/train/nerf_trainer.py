@@ -446,10 +446,10 @@ class NerfTrainer:
                 )
             if self.segment_compaction:
                 comp_in = compact_samples_segmented(
-                    samples, dirs_warped, batch_size)
+                    samples, dirs_warped, batch_size, whole_rays=True)
             else:
                 comp_in = compact_samples(samples, dirs_warped,
-                                          batch_size)
+                                          batch_size, whole_rays=True)
             K = (self.march_skip_steps if self.march_skip_steps > 0
                  else self.n_march_steps)
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
@@ -550,7 +550,7 @@ class NerfTrainer:
         )
         dirs0 = (rays0.d + 1.0) * 0.5
         comp_in = compact_samples(samples, jax.lax.stop_gradient(dirs0),
-                                  batch_size)
+                                  batch_size, whole_rays=True)
         R, K = samples.valid.shape
         bg = (jax.random.uniform(k_bg, (n_rays, 3)) if self.random_bg
               else jnp.ones((n_rays, 3)))
@@ -730,7 +730,12 @@ class NerfTrainer:
                     import math as _math
 
                     ideal = cur_rays * self.batch_size / measured
-                    bucket = 1 << int(round(_math.log2(max(ideal, 1.0))))
+                    # floor, not round: a nearest-pow2 bucket overshoots
+                    # ideal by up to sqrt(2), overfilling the batch by
+                    # ~30% every step — whole-ray drops then silently
+                    # untrain the tail rays. Undershooting only wastes
+                    # batch slots.
+                    bucket = 1 << int(_math.floor(_math.log2(max(ideal, 1.0))))
                     # cap so the dense (R, K) march tensors stay bounded
                     # (~(R*K*21 B); 2^16 rays x 1024 steps ~ 1.4 GB)
                     cur_rays = int(np.clip(bucket, 1024, 1 << 16))

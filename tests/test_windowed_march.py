@@ -249,3 +249,44 @@ def test_march_skip_same_sample_set():
         t_skip = np.sort(np.asarray(sk.t[sk.valid]))
         np.testing.assert_array_equal(t_skip, t_full)
     assert int(jnp.sum(full.valid)) > 0
+
+
+def test_whole_ray_compaction_never_truncates_a_ray():
+    """Training compaction (whole_rays=True) must keep each ray's valid
+    samples all-or-nothing under capacity pressure — the reference's
+    atomic reservation (testbed_nerf.cu:960-968). Tail-truncated rays
+    train toward fog (round-3 ds1 regression)."""
+    from synerfgine_tpu.march.dda import (
+        compact_samples, compact_samples_segmented, march_rays_grid)
+
+    aabb = scene_aabb(1)
+    grid = OccupancyGrid(1)
+    key = jax.random.PRNGKey(2)
+    bitfield = jax.random.bernoulli(
+        key, 0.5, (grid.n_cascades, grid.G, grid.G, grid.G))
+    o = jnp.stack([
+        jnp.full((24,), -0.7),
+        jax.random.uniform(jax.random.fold_in(key, 1), (24,), minval=0.2,
+                           maxval=0.8),
+        jax.random.uniform(jax.random.fold_in(key, 2), (24,), minval=0.2,
+                           maxval=0.8)], -1)
+    d = jnp.array([0.5, 0.5, 0.5]) - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    samples = march_rays_grid(Ray(o, d), aabb, grid, bitfield, 128, 0.0)
+    dirs = (d + 1.0) * 0.5
+
+    budget = 256   # far below demand: forces drops
+    for comp in (compact_samples(samples, dirs, budget, whole_rays=True),
+                 compact_samples_segmented(samples, dirs, budget, seg=8,
+                                           whole_rays=True)):
+        kept = np.asarray(comp.valid)          # (R, K) post-capacity
+        orig = np.asarray(samples.valid)
+        per_ray_kept = kept.sum(1)
+        per_ray_orig = orig.sum(1)
+        # each ray: either all its valid samples kept, or none
+        partial = (per_ray_kept > 0) & (per_ray_kept < per_ray_orig)
+        assert not partial.any(), np.nonzero(partial)
+        # feedback still reports the pre-drop demand
+        assert int(comp.n_valid) == int(per_ray_orig.sum())
+        # and something was actually dropped (the test exercises pressure)
+        assert per_ray_kept.sum() < per_ray_orig.sum()
