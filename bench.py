@@ -111,6 +111,35 @@ def main():
         f"({100*acc.samples/(n_steps*batch_size):.1f}% of batch), "
         f"{rays_per_s:.0f} rays/s")
 
+    # render phase (VERDICT r3 Next #6): trained-grid frame throughput at
+    # the reference's eval raster (800x800). First call compiles; the
+    # steady frame is the second call. spp 8 is the eval protocol; spp 1
+    # is the interactive regime.
+    render = {}
+    try:
+        import numpy as _np
+
+        cam0 = _np.asarray(trainer.xforms[0])
+        infer = trainer.inference_params(state)
+        # chunk 8192: the relay has a ~27 ms per-dispatch floor, so
+        # 800x800 at the default 2048-px chunks would pay ~9 s of pure
+        # dispatch; 79 chunks keeps the frame device-bound
+        for spp in (1, 8):
+            trainer.render_image(infer, cam0, width=800, height=800,
+                                 grid_state=state.grid, spp=spp,
+                                 chunk=8192)
+            t0 = time.time()
+            trainer.render_image(infer, cam0, width=800, height=800,
+                                 grid_state=state.grid, spp=spp,
+                                 chunk=8192)
+            frame_s = time.time() - t0
+            render[f"render_ms_spp{spp}"] = round(frame_s * 1e3, 1)
+            render[f"render_fps_spp{spp}"] = round(1.0 / frame_s, 2)
+            log(f"render 800x800 spp{spp}: {frame_s*1e3:.0f} ms/frame")
+    except Exception as e:  # render must never sink the train metric
+        log(f"render phase failed: {e!r}")
+        render = {"render_error": str(e)[:200]}
+
     print(json.dumps({
         "metric": "train_samples_per_s",
         "value": round(samples_per_s),
@@ -118,8 +147,10 @@ def main():
         "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 4),
         "rays_per_s": round(rays_per_s),
         "batch_fill": round(acc.samples / (n_steps * batch_size), 4),
+        "step_ms": round(1e3 * dt / n_steps, 1),
         "accounting": "measured_compacted_samples",
         "n_devices": n_devices,
+        **render,
     }))
 
 

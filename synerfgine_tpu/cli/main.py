@@ -50,6 +50,16 @@ def _build_trainer(args, dataset):
         cfg = NGPNetworkConfig.from_json(args.config)
     else:
         cfg = NGPNetworkConfig()
+    if (getattr(args, "hash_mode", None) or "additive_x") == "lattice":
+        import sys
+
+        print(
+            "WARNING: --hash-mode lattice holds PSNR at small scale but "
+            "its STRUCTURED collisions fog full-resolution training "
+            "(measured: lego ds1 regressed 24.7 -> 22.5 dB; see "
+            "PERF.md 'lattice postmortem'). Use the default additive_x "
+            "unless you are benchmarking the encode.",
+            file=sys.stderr)
     net = NerfNetwork(cfg, aabb_scale=dataset.aabb_scale,
                       n_extra_dims=getattr(args, "n_extra_dims", 0),
                       use_pallas_mlp=getattr(args, "pallas_mlp", False),
@@ -152,6 +162,7 @@ def cmd_train(args):
                           "aabb_scale": ds.aabb_scale},
             include_optimizer=args.snapshot_optimizer,
             hash_version=trainer.network.pos_encoding.hash_version,
+            adaptive_rays=getattr(trainer, "_adaptive_rays", None),
         )
 
     if getattr(args, "profile", None):

@@ -64,19 +64,25 @@ class ShardedNerfTrainer:
                              out_specs=(rep,) * n_out if n_out > 1 else rep,
                              check_rep=False)
 
-        def sharded_step(state, n_rays, data):
-            body = smap(lambda s, d: tr._train_step(s, n_rays, d), 2, 3)
-            return body(state, data)
+        def sharded_step(state, n_rays, data, n_active=None):
+            body = smap(
+                lambda s, d, a: tr._train_step(s, n_rays, d, a), 3, 3)
+            return body(state, data, n_active)
 
         def sharded_grid(state, full_sweep):
             body = smap(lambda s: tr._grid_update_fn(s, full_sweep), 1, 1)
             return body(state)
 
-        def sharded_scan(state, data, n_steps, warmup, n_rays):
+        def sharded_scan(state, data, n_steps, warmup, n_rays,
+                         n_active=None):
+            # n_active is the GLOBAL exact ray count (a traced scalar,
+            # replicated); _train_step divides it per shard alongside
+            # the n_rays bucket
             body = smap(
-                lambda s, d: tr._train_scan(s, d, n_steps, warmup, n_rays),
-                2, 3)
-            return body(state, data)
+                lambda s, d, a: tr._train_scan(s, d, n_steps, warmup,
+                                               n_rays, a),
+                3, 3)
+            return body(state, data, n_active)
 
         # replace the trainer's jitted entries so its own host loop
         # (train(), step(), adaptive rays, cadence) drives the mesh

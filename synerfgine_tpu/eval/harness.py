@@ -40,7 +40,8 @@ def evaluate_views(
             grid_state=grid_state, n_steps=n_steps, bg_color=(0.0, 0.0, 0.0),
             spp=spp, chunk=chunk,
         )
-        print(f"view {i}: rendered in {time.time() - t0:.1f}s",
+        render_s = time.time() - t0
+        print(f"view {i}: rendered in {render_s:.1f}s",
               file=sys.stderr, flush=True)
         gt = dataset.images[i].astype(np.float32) / 255.0
         if width and (gt.shape[1] != width or gt.shape[0] != height):
@@ -52,7 +53,8 @@ def evaluate_views(
         gt_black = compose_on_background(gt)
         p = psnr(out["rgb"], gt_black)
         s = ssim(np.clip(out["rgb"], 0, 1), np.clip(gt_black, 0, 1))
-        results.append({"view": i, "psnr": p, "ssim": s})
+        results.append({"view": i, "psnr": p, "ssim": s,
+                        "render_s": round(render_s, 2)})
         if write_dir:
             import pathlib
 
@@ -64,10 +66,16 @@ def evaluate_views(
             write_image(str(d / f"gt_{i:03d}.png"), gt_black)
     psnrs = [r["psnr"] for r in results]
     ssims = [r["ssim"] for r in results]
+    times = [r["render_s"] for r in results]
     return {
         "per_view": results,
         "psnr_mean": float(np.mean(psnrs)),
         "psnr_min": float(np.min(psnrs)),
         "ssim_mean": float(np.mean(ssims)),
         "n_views": n,
+        # per-view render cost is a first-class result, not a stderr
+        # footnote: the first view pays compile, steady state is the
+        # minimum (the reference evals 200 views routinely)
+        "render_s_total": round(float(np.sum(times)), 2),
+        "render_s_steady": round(float(np.min(times)), 2),
     }

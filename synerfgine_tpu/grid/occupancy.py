@@ -266,6 +266,8 @@ class OccupancyGrid:
         empty probes cover the segment between them. Cheap dense
         pool/roll ops; rebuild whenever the bitfield changes."""
         G = self.G
+        if res & (res - 1):
+            raise ValueError(f"skip-grid res must be a power of two, got {res}")
         world = jnp.zeros((res, res, res), bool)
         for c in range(self.n_cascades):
             # cascade c (side 2^c, centered) spans the central
@@ -279,6 +281,10 @@ class OccupancyGrid:
                 world = world.at[q - 1:q + 1, q - 1:q + 1,
                                  q - 1:q + 1].max(occ)
                 continue
+            if G % span:
+                raise ValueError(
+                    f"grid size {G} not divisible by skip span {span}; "
+                    f"use a power-of-two res <= {G << (self.max_cascade)}")
             f = G // span
             pooled = bitfield[c].reshape(span, f, span, f,
                                          span, f).any((1, 3, 5))

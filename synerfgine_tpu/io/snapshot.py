@@ -70,6 +70,7 @@ def save_snapshot(
     include_optimizer: bool = False,
     compress: bool = True,
     hash_version: int = HASH_VERSION,
+    adaptive_rays: int | None = None,
 ):
     """params/opt_state/grid_state are pytrees of arrays (NamedTuples ok).
     hash_version 1 marks tables indexed with the tcnn XOR hash
@@ -84,6 +85,10 @@ def save_snapshot(
         "config": config or {},
         "dataset_meta": dataset_meta or {},
     }
+    if adaptive_rays is not None:
+        # the adaptive ray count (testbed_nerf.cu n_rays state): resuming
+        # without it re-converges from the default over the first blocks
+        payload["adaptive_rays"] = int(adaptive_rays)
     leaves, treedef = jax.tree.flatten(params)
     payload["params"] = [_pack_array(l) for l in leaves]
     if include_optimizer and opt_state is not None:
@@ -138,6 +143,7 @@ def load_snapshot(path: str, hash_version: int = HASH_VERSION) -> dict:
         "opt_state": [_unpack_array(d) for d in payload.get("opt_state", [])] or None,
         "density_grid": None,
         "grid_ema_step": payload.get("grid_ema_step", 0),
+        "adaptive_rays": payload.get("adaptive_rays"),
     }
     if "density_grid" in payload:
         out["density_grid"] = _unpack_array(payload["density_grid"]).astype(np.float32)
@@ -171,4 +177,6 @@ def restore_train_state(trainer, snap: dict, key=None):
         )
         gstate = trainer.grid.finalize(gstate)
     trainer.host_step = snap["step"]
+    if snap.get("adaptive_rays"):
+        trainer._adaptive_rays = int(snap["adaptive_rays"])
     return NerfTrainState(params, opt_state, gstate, key)

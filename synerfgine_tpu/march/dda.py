@@ -172,6 +172,14 @@ class CompactedSamples(NamedTuple):
     valid: jnp.ndarray     # (R, K) bool after capacity clipping
     n_valid: jnp.ndarray   # () int32 — samples before clipping (feedback)
     slot_valid: jnp.ndarray  # (S,) bool — slot holds a real valid sample
+    # (R,) bool — ray survived capacity reservation. With whole_rays=True
+    # a ray whose samples don't all fit is dropped ENTIRELY; the
+    # reference additionally excludes such rays from the LOSS
+    # (testbed_nerf.cu:960-968 early-returns before the ray is written
+    # to the batch), so trainers must mask per-ray losses with this —
+    # otherwise dropped rays contribute a spurious background-vs-target
+    # residual to envmap/exposure gradients and the error map.
+    ray_kept: jnp.ndarray
     # invariant: slots are ordered by (ray, t) — compaction assigns them
     # by row-major cumsum — which composite_compacted relies on
 
@@ -199,10 +207,15 @@ def compact_samples(
     samples, so suffix clipping is lossless there."""
     R, K = samples.valid.shape
     demand = jnp.sum(samples.valid).astype(jnp.int32)  # pre-drop feedback
+    ray_kept = jnp.ones((R,), bool)
     if whole_rays:
         counts = jnp.sum(samples.valid, axis=1)          # (R,)
         fits = jnp.cumsum(counts) <= batch_size           # (R,)
         samples = samples._replace(valid=samples.valid & fits[:, None])
+        # zero-sample rays trivially fit the reservation (base + 0 is
+        # never over budget in the reference), even past the overflow
+        # point of the inclusive cumsum
+        ray_kept = fits | (counts == 0)
     flat_valid = samples.valid.reshape(-1)
     pos = jnp.cumsum(flat_valid.astype(jnp.int32)) - 1
     keep = flat_valid & (pos < batch_size)
@@ -232,6 +245,7 @@ def compact_samples(
         n_valid=demand,
         slot_valid=jnp.arange(batch_size, dtype=jnp.int32)
         < jnp.minimum(n_filled, batch_size),
+        ray_kept=ray_kept,
     )
 
 
@@ -265,6 +279,7 @@ def compact_samples_segmented(
     # pre-drop demand for the adaptive-ray feedback (see compact_samples)
     demand = jnp.sum(samples.valid & seg_valid.reshape(R, S, 1)
                      .repeat(seg, 2).reshape(R, K)).astype(jnp.int32)
+    ray_kept = jnp.ones((R,), bool)
     if whole_rays:
         # whole-ray atomic reservation (reference semantics,
         # testbed_nerf.cu:960-968): a ray whose segments don't all fit
@@ -272,6 +287,7 @@ def compact_samples_segmented(
         seg_counts = jnp.sum(seg_valid, axis=1)                 # (R,)
         fits = jnp.cumsum(seg_counts) <= n_slots                # (R,)
         seg_valid = seg_valid & fits[:, None]
+        ray_kept = fits | (seg_counts == 0)
     flat = seg_valid.reshape(-1)
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     keep = flat & (pos < n_slots)
@@ -314,4 +330,5 @@ def compact_samples_segmented(
         valid=valid,
         n_valid=demand,
         slot_valid=slot_valid,
+        ray_kept=ray_kept,
     )

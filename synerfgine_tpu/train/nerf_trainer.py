@@ -371,14 +371,23 @@ class NerfTrainer:
 
     def loss_and_grads(self, params: NerfParams, bitfield, key,
                        n_rays: int | None = None, batch_size: int | None = None,
-                       error_map=None, data=None):
+                       error_map=None, data=None, n_active=None):
         """Pure core of one training step: sample rays -> march -> loss ->
         grads. Shared by the single-chip jit and the shard_map data-parallel
         path (dist/sharded.py), which calls it per-shard and psums the
         result. Returns (loss, grads, n_samples, aux) with aux =
         (img_idx, uv, per_ray_loss) for the error-map deposit.
 
-        bitfield: the occupancy bitfield, or an OccupancyGridState."""
+        bitfield: the occupancy bitfield, or an OccupancyGridState.
+
+        n_active: optional TRACED ray count <= n_rays. The static n_rays
+        is a pow2 shape bucket; only the first n_active rays march/train,
+        so the host loop can track the reference's EXACT measured-count
+        ray adaptation (testbed_nerf.cu:3272-3296 multiplies by
+        target/measured with no bucketing) while jit sees a handful of
+        static shapes. Inactive and capacity-dropped rays are excluded
+        from the loss entirely, like the reference's reservation-failed
+        rays (testbed_nerf.cu:960-968)."""
         if hasattr(bitfield, "bitfield"):
             bitfield = bitfield.bitfield
         n_rays = n_rays or self.n_rays
@@ -389,6 +398,7 @@ class NerfTrainer:
             data, k_rays, n_rays, error_map)
         rays = self._rays_for(data, img_idx, uv, k_motion=k_motion)
         R = n_rays
+        active = (jnp.arange(R) < n_active) if n_active is not None else None
 
         if self.random_bg:
             bg0 = jax.random.uniform(k_bg, (R, 3))
@@ -411,9 +421,20 @@ class NerfTrainer:
             keep = 1.0 - mk[img_idx, my, mx]
             w_sharp = keep if w_sharp is None else w_sharp * keep
 
-        def ray_mean(per_ray):
-            return (jnp.mean(per_ray * w_sharp) if w_sharp is not None
-                    else jnp.mean(per_ray))
+        def make_ray_mean(kept_f):
+            # mean over rays IN the batch: the reference averages the loss
+            # over the rays actually written to it — inactive rays,
+            # reservation-dropped rays, and (without envmap training)
+            # zero-sample rays never contribute (testbed_nerf.cu:950-968),
+            # so their background-vs-target residual must not leak into
+            # envmap/exposure gradients or the error map
+            denom = jnp.maximum(jnp.sum(kept_f), 1.0)
+
+            def ray_mean(per_ray):
+                w = kept_f if w_sharp is None else kept_f * w_sharp
+                return jnp.sum(per_ray * w) / denom
+
+            return ray_mean
 
         def background(p):
             """Random/fixed bg, with the trainable envmap composited on
@@ -444,6 +465,9 @@ class NerfTrainer:
                     rays, self.aabb, self.grid, bitfield,
                     self.n_march_steps, self.cone_angle, k_march,
                 )
+            if active is not None:
+                samples = samples._replace(
+                    valid=samples.valid & active[:, None])
             if self.segment_compaction:
                 comp_in = compact_samples_segmented(
                     samples, dirs_warped, batch_size, whole_rays=True)
@@ -455,6 +479,13 @@ class NerfTrainer:
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(
                 k_u, (self.network.pos_encoding.n_levels, batch_size))
+            # rays in the loss: survived the capacity reservation AND
+            # (unless the envmap learns from empty rays) have >=1 sample
+            kept = (comp_in.ray_kept if self.train_envmap
+                    else comp_in.ray_kept & jnp.any(comp_in.valid, axis=1))
+            if active is not None:
+                kept = kept & active
+            ray_mean = make_ray_mean(kept.astype(jnp.float32))
 
             if self.n_extra_dims > 0:
                 sample_img = img_idx[comp_in.ray_idx]
@@ -479,6 +510,10 @@ class NerfTrainer:
                     )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
+                # mask BEFORE returning as aux: the error-map deposit must
+                # not record spurious high error for dropped rays (which
+                # would oversample exactly the rays likeliest to drop)
+                per_ray = per_ray * kept
                 loss = ray_mean(per_ray)
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     # only supervise rays with valid (>0) depth
@@ -494,6 +529,12 @@ class NerfTrainer:
         else:
             samples = sample_fixed_steps(rays, self.aabb, self.n_steps_per_ray, k_march)
             K = self.n_steps_per_ray
+            if active is not None:
+                samples = samples._replace(
+                    valid=samples.valid & active[:, None])
+            kept = (active.astype(jnp.float32) if active is not None
+                    else jnp.ones((R,), jnp.float32))
+            ray_mean = make_ray_mean(kept)
             xs_unit = jnp.clip(self.aabb.relative_pos(samples.xs), 0.0, 1.0)
 
             def loss_fn(params):
@@ -514,6 +555,7 @@ class NerfTrainer:
                 )
                 pred = comp.rgb + comp.transmittance[:, None] * bg
                 per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
+                per_ray = per_ray * kept
                 loss = ray_mean(per_ray)
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     mask = depth_gt > 0
@@ -528,7 +570,7 @@ class NerfTrainer:
 
     def loss_and_grads_camopt(self, params, cam_params: CameraOptParams,
                               bitfield, key, n_rays=None, batch_size=None,
-                              data=None):
+                              data=None, n_active=None):
         """Joint network + camera (pose/exposure) gradients.
 
         The march/compaction runs with the CURRENT pose (non-diff, like
@@ -549,9 +591,23 @@ class NerfTrainer:
             self.n_march_steps, self.cone_angle, k_march,
         )
         dirs0 = (rays0.d + 1.0) * 0.5
+        if n_active is not None:
+            samples = samples._replace(
+                valid=samples.valid
+                & (jnp.arange(n_rays) < n_active)[:, None])
         comp_in = compact_samples(samples, jax.lax.stop_gradient(dirs0),
                                   batch_size, whole_rays=True)
         R, K = samples.valid.shape
+        # exclude dropped/inactive/empty rays from the loss: their
+        # background-vs-target residual would otherwise leak into the
+        # pose/exposure/envmap gradients (testbed_nerf.cu:950-968 skips
+        # them before the ray enters the batch)
+        kept = (comp_in.ray_kept if self.train_envmap
+                else comp_in.ray_kept & jnp.any(comp_in.valid, axis=1))
+        if n_active is not None:
+            kept = kept & (jnp.arange(n_rays) < n_active)
+        kept_f = kept.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(kept_f), 1.0)
         bg = (jax.random.uniform(k_bg, (n_rays, 3)) if self.random_bg
               else jnp.ones((n_rays, 3)))
 
@@ -585,7 +641,8 @@ class NerfTrainer:
             exposure_scale = jnp.exp2(cam_params.exposure[img_idx])[:, None]
             target = (texel[:, :3] * exposure_scale * texel[:, 3:]
                       + (1.0 - texel[:, 3:]) * bg_eff)
-            return jnp.mean(self.loss_fn(pred, target))
+            per_ray = jnp.mean(self.loss_fn(pred, target), axis=-1)
+            return jnp.sum(per_ray * kept_f) / denom
 
         loss, (g_net, g_cam) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             params, cam_params)
@@ -597,7 +654,7 @@ class NerfTrainer:
         return loss, g_net, g_cam, comp_in.n_valid
 
     def _train_step(self, state: NerfTrainState, n_rays: int | None = None,
-                    data=None):
+                    data=None, n_active=None):
         key, k_step = jax.random.split(state.key)
         n_rays = n_rays or self.n_rays
         batch_size = self.batch_size
@@ -607,11 +664,14 @@ class NerfTrainer:
             k_step = jax.random.fold_in(k_step, jax.lax.axis_index(ax))
             n_rays = n_rays // self.n_shards
             batch_size = batch_size // self.n_shards
+            if n_active is not None:
+                n_active = n_active // self.n_shards
         emap = state.error_map
         if state.cam_opt is not None:
             loss, grads, g_cam, n_samples = self.loss_and_grads_camopt(
                 state.params, state.cam_opt.params, state.grid.bitfield,
-                k_step, n_rays=n_rays, batch_size=batch_size, data=data)
+                k_step, n_rays=n_rays, batch_size=batch_size, data=data,
+                n_active=n_active)
             if self.n_shards > 1:
                 g_cam = jax.lax.pmean(g_cam, ax)
             cam_opt = camera_opt_update(state.cam_opt, g_cam)
@@ -619,6 +679,7 @@ class NerfTrainer:
             loss, grads, n_samples, aux = self.loss_and_grads(
                 state.params, state.grid, k_step, n_rays=n_rays,
                 batch_size=batch_size, error_map=emap, data=data,
+                n_active=n_active,
             )
             cam_opt = None
             if emap is not None:
@@ -662,16 +723,21 @@ class NerfTrainer:
         return state._replace(grid=gstate, key=key)
 
     def _train_scan(self, state: NerfTrainState, data, n_steps: int,
-                    update_grid_every_step: bool, n_rays: int | None = None):
+                    update_grid_every_step: bool, n_rays: int | None = None,
+                    n_active=None):
         """n_steps training steps fused into ONE device dispatch via
         lax.scan — removes the per-dispatch host/relay round-trip that
         would otherwise dominate wall-clock (SURVEY.md §7 'host/device
-        ping-pong ... the TPU design removes these')."""
+        ping-pong ... the TPU design removes these').
+
+        n_rays is the STATIC pow2 shape bucket; n_active (traced scalar)
+        is the exact ray count the adaptive loop tracks — changing it
+        never recompiles."""
 
         def body(s, _):
             if update_grid_every_step and self.use_grid:
                 s = self._grid_update_fn(s, False)
-            s, loss, n_samples = self._train_step(s, n_rays, data)
+            s, loss, n_samples = self._train_step(s, n_rays, data, n_active)
             return s, (loss, n_samples)
 
         state, (losses, n_samples) = jax.lax.scan(
@@ -696,12 +762,23 @@ class NerfTrainer:
         is fused into every scanned step, matching the reference cadence
         (testbed.cu:4082). With adaptive_rays, the ray count per batch is
         retuned after every block so the compacted sample count tracks
-        `batch_size` (`update_after_training` behavior,
-        testbed_nerf.cu:3272-3296), bucketed to powers of two so jit
-        recompiles stay bounded."""
+        `batch_size` EXACTLY (`rays * target / measured`,
+        testbed_nerf.cu:3272-3296 — no bucketing): the jit shape is the
+        next pow2 bucket (bounded recompiles) while the traced n_active
+        marches/trains the exact count, so the batch fills to ~100%
+        instead of the floor-bucket's worst-case 50%. Overshoot is safe:
+        overflow rays are whole-ray-dropped AND excluded from the loss."""
+        import math as _math
+
         losses = []
         done = 0
         cur_rays = self._adaptive_rays if hasattr(self, "_adaptive_rays") else self.n_rays
+
+        def bucket_of(n):
+            # static jit shape: smallest pow2 >= the exact count (so at
+            # most ~half the marched rays are inactive padding)
+            return min(1 << int(_math.ceil(_math.log2(max(n, 1)))), 1 << 16)
+
         while done < n_steps:
             warmup = self.use_grid and self.host_step < self.grid_warmup_steps
             if warmup:
@@ -715,8 +792,9 @@ class NerfTrainer:
                 if self.use_grid and cadence_left == self.grid_update_cadence:
                     state = self._grid_update(state, False)
                 n = min(self.scan_block_steps, cadence_left, n_steps - done)
-            state, ls, n_samples = self._scan_steps(state, self.data, n,
-                                                    warmup, cur_rays)
+            state, ls, n_samples = self._scan_steps(
+                state, self.data, n, warmup, bucket_of(cur_rays),
+                jnp.int32(cur_rays))
             # host-sync once per block: the remote-TPU relay treats
             # block_until_ready as a no-op, so an unsynced loop floods the
             # worker's execution queue (observed worker crashes); a scalar
@@ -727,18 +805,14 @@ class NerfTrainer:
             if adaptive_rays and self.use_grid and not warmup:
                 measured = float(jnp.mean(n_samples))
                 if measured > 0:
-                    import math as _math
-
+                    # exact measured-count adaptation (reference
+                    # update_after_training): overshoot no longer fogs —
+                    # overflow rays are dropped whole AND masked from the
+                    # loss — so track the target exactly. Cap keeps the
+                    # dense (R, K) march tensors bounded
+                    # (~R*K*21 B; 2^16 rays x 1024 steps ~ 1.4 GB).
                     ideal = cur_rays * self.batch_size / measured
-                    # floor, not round: a nearest-pow2 bucket overshoots
-                    # ideal by up to sqrt(2), overfilling the batch by
-                    # ~30% every step — whole-ray drops then silently
-                    # untrain the tail rays. Undershooting only wastes
-                    # batch slots.
-                    bucket = 1 << int(_math.floor(_math.log2(max(ideal, 1.0))))
-                    # cap so the dense (R, K) march tensors stay bounded
-                    # (~(R*K*21 B); 2^16 rays x 1024 steps ~ 1.4 GB)
-                    cur_rays = int(np.clip(bucket, 1024, 1 << 16))
+                    cur_rays = int(np.clip(round(ideal), 512, 1 << 16))
             if metrics is not None:
                 import time as _time
 
@@ -1033,14 +1107,19 @@ class NerfTrainer:
             return tuple(a / spp for a in acc)
 
         gbits = grid_state.bitfield if use_grid else None
-        # aligned-pair table built once per frame, not per chunk
-        paired_tbl = jax.jit(self.network.pos_encoding.make_paired_table)(
-            params.hash_table)
+        # aligned-pair table built once per frame, not per chunk — and the
+        # jit wrappers themselves once per TRAINER: a fresh jax.jit() per
+        # call would re-trace (and remote-AOT-recompile) every frame
+        paired_tbl = self._memo_render_jit(
+            "paired_table",
+            lambda: jax.jit(self.network.pos_encoding.make_paired_table),
+        )(params.hash_table)
         # dilated empty-space skip grid, also once per frame: the
         # windowed march's coarse lookahead proves empty stretches
         # unoccupied with ~cell-sized strides instead of per-step probes
-        skip_tbl = (jax.jit(self.grid.make_skip_grid)(gbits)
-                    if use_grid else None)
+        skip_tbl = (self._memo_render_jit(
+            "skip_grid", lambda: jax.jit(self.grid.make_skip_grid))(gbits)
+            if use_grid else None)
         n_px = uv_all.shape[0]
         if mesh is not None:
             from jax.experimental.shard_map import shard_map
@@ -1066,8 +1145,14 @@ class NerfTrainer:
                 return jax.lax.map(one, (uvs, sds))
 
             spec_in = (P(), P(), P(), P(), P(), P(), P("data"), P("data"))
+            # stable mesh identity (axis names + layout + device ids):
+            # id(mesh) can be recycled by the GC and silently hit a stale
+            # compiled program for a different mesh
+            mesh_key = ("mesh", tuple(mesh.axis_names),
+                        tuple(mesh.devices.shape),
+                        tuple(d.id for d in mesh.devices.flat))
             fan = self._memo_render_jit(
-                jit_key + ("mesh", id(mesh)),
+                jit_key + mesh_key,
                 lambda: jax.jit(shard_map(
                     dev_body, mesh=mesh, in_specs=spec_in,
                     out_specs=(P("data"), P("data"), P("data")),
