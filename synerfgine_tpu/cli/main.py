@@ -22,7 +22,7 @@ import pathlib
 import time
 
 # snapshot hash_version -> HashEncoding hash_mode (io/snapshot.py gate)
-_HV_MODE = {1: "xor", 2: "additive_x", 3: "lattice"}
+_HV_MODE = {1: "xor", 2: "additive_x", 3: "lattice", 4: "quad"}
 
 
 def _adopt_snapshot_hash_mode(args, snapshot_path):
@@ -64,7 +64,8 @@ def _build_trainer(args, dataset):
                       n_extra_dims=getattr(args, "n_extra_dims", 0),
                       use_pallas_mlp=getattr(args, "pallas_mlp", False),
                       hash_grad=getattr(args, "hash_grad", "stochastic"),
-                      hash_mode=getattr(args, "hash_mode", None) or "additive_x")
+                      hash_mode=getattr(args, "hash_mode", None) or "additive_x",
+                      mlp_fp32=getattr(args, "mlp_fp32", False))
     trainer = NerfTrainer(
         net,
         dataset,
@@ -448,10 +449,14 @@ def main(argv=None):
         sp.add_argument("--scan-block", type=int, default=None,
                         help="train steps fused per device dispatch")
         sp.add_argument("--hash-mode", default=None,
-                        choices=["additive_x", "xor", "lattice"],
+                        choices=["additive_x", "xor", "lattice", "quad"],
                         help="hash indexing: additive_x (fast paired "
-                             "gather), xor (tcnn/.ingp compatible), or "
-                             "lattice (full-cell single-gather rows)")
+                             "gather), xor (tcnn/.ingp compatible), "
+                             "lattice (full-cell single-gather rows), or "
+                             "quad (additive x+y face rows, scrambled z)")
+        sp.add_argument("--mlp-fp32", action="store_true",
+                        help="run the MLPs in fp32 instead of bf16 "
+                             "(quality A/B lever)")
 
     sp = sub.add_parser("train")
     common(sp)

@@ -40,6 +40,24 @@ __all__ = ["HashEncoding", "stochastic_encode", "exact_encode"]
 # (y,z) offset); only the bit pattern differs from tcnn.
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037)
 
+# "quad" hash mode y-stride: h = x + RY*y + scramble(z) (mod T). Any
+# large odd constant works; collisions within one z-slice form a 2D
+# lattice whose shortest vector is ~sqrt(T) (~724 cells at T=2^19) —
+# far beyond feature correlation range, unlike the fully-additive
+# "lattice" mode whose 3D collision lattice (~T^(1/3) ~ 80 cells)
+# measurably fogged ds1 training (PERF.md round-3 postmortem).
+_QUAD_RY = 2654435761
+
+
+def _scramble_z(z: jnp.ndarray) -> jnp.ndarray:
+    """Murmur-style finalizer: NONLINEAR in z (shift/xor breaks the
+    additive structure), so cross-slice collisions are pseudo-random.
+    uint32 in/out."""
+    z = z * jnp.uint32(0x9E3779B1)
+    z = z ^ (z >> jnp.uint32(15))
+    z = z * jnp.uint32(0x85EBCA77)
+    return z ^ (z >> jnp.uint32(13))
+
 
 def _next_multiple(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -82,9 +100,21 @@ class HashEncoding:
         # Trade-off: lattice collisions are structured (shortest lattice
         # vector ~T^(1/3) ~ 80 cells) where XOR collisions are
         # pseudo-random — PSNR-validated by A/B before default adoption.
-        assert hash_mode in ("additive_x", "xor", "lattice"), hash_mode
+        # "quad" (hash_version 4): additive in x AND y, scrambled z —
+        # h = (x + RY*y + scramble(z)) mod T. The 4 corners of each
+        # z-face live at fixed offsets {0, 1, RY, RY+1}, so a
+        # (4F)-wide-row table (make_quad_table) fetches a face in ONE
+        # gather: 2 transactions per (sample, level) instead of the
+        # aligned pair's 4, while the z scramble keeps cross-slice
+        # collisions pseudo-random (the lattice fog mechanism needs
+        # additivity in ALL dims). The round-3 postmortem's proposed
+        # fog-safe halving of encode transactions.
+        assert hash_mode in ("additive_x", "xor", "lattice", "quad"), hash_mode
+        if hash_mode == "quad" and n_dims != 3:
+            raise ValueError("quad hash mode is 3-D only")
         self.hash_mode = hash_mode
-        self.hash_version = {"xor": 1, "additive_x": 2, "lattice": 3}[hash_mode]
+        self.hash_version = {"xor": 1, "additive_x": 2, "lattice": 3,
+                             "quad": 4}[hash_mode]
         self.n_levels = n_levels
         self.F = n_features_per_level
         self.n_dims = n_dims
@@ -202,6 +232,10 @@ class HashEncoding:
                 for d in range(1, self.n_dims):
                     h = h + (coord[..., d].astype(jnp.uint32)
                              * jnp.uint32(_PRIMES[d]))
+            elif self.hash_mode == "quad":
+                h = (coord[..., 0].astype(jnp.uint32)
+                     + coord[..., 1].astype(jnp.uint32) * jnp.uint32(_QUAD_RY)
+                     + _scramble_z(coord[..., 2].astype(jnp.uint32)))
             else:
                 h = jnp.zeros(coord.shape[:2], jnp.uint32)
                 for d in range(1, self.n_dims):
@@ -251,6 +285,8 @@ class HashEncoding:
             return table
         if self.hash_mode == "lattice":
             return self.make_cell_table(table)
+        if self.hash_mode == "quad":
+            return self.make_quad_table(table)
         rolled = jnp.roll(table, -1, axis=0)
         for off, size in zip(self.level_offsets, self.level_sizes):
             rolled = rolled.at[off + size - 1].set(table[off])
@@ -317,6 +353,11 @@ class HashEncoding:
         if paired_table.shape[1] == (1 << self.n_dims) * self.F:
             # "lattice" mode: full-cell rows
             return self.cell_encode(paired_table, x, level_mask,
+                                    compute_dtype)
+        if (self.n_dims == 3
+                and paired_table.shape[1] == 4 * self.F
+                and self.hash_mode == "quad"):
+            return self.quad_encode(paired_table, x, level_mask,
                                     compute_dtype)
         L, F = self.n_levels, self.F
         N = x.shape[0]
@@ -419,6 +460,107 @@ class HashEncoding:
             out = out * level_mask[:, None, None]
         return jnp.moveaxis(out, 0, 1).reshape(N, L * F).astype(compute_dtype)
 
+    # ------------------------------------------------------- quad rows
+    # "quad" hash mode only (additive x AND y, scrambled z): the four
+    # corners of a cell's z-face sit at fixed row offsets
+    # {0, 1, o_y, o_y+1} from the face's base row (o_y = RY mod T for
+    # hashed levels, res for dense ones), so a (4F)-wide row fetches a
+    # whole face: TWO 64 B gathers per (sample, level) instead of the
+    # aligned pair's four 32 B ones. 64 B transactions cost 1.22x a
+    # 32 B one (PERF.md), so the encode pays ~2.44 transaction-units
+    # per cell vs the pair layout's 4 — the postmortem's projected ~40%
+    # encode reduction, without the lattice mode's 3-D collision fog.
+
+    def _quad_oy(self, level: int) -> int:
+        res = self.resolutions[level]
+        if self.level_is_dense[level]:
+            return res
+        return int(_QUAD_RY % self.hashmap_size)
+
+    def make_quad_table(self, table: jnp.ndarray) -> jnp.ndarray:
+        """(n_params, F) -> (n_params, 4F); row i holds the 4 z-face
+        corners whose base corner is row i: offsets [0, 1, o_y, o_y+1]
+        wrapped within the level (mod-T hash arithmetic). Built from
+        contiguous slices (4x sequential table traffic, no gathers)."""
+        assert self.hash_mode == "quad", "quad rows need the quad hash"
+        parts = []
+        for l, (off, size) in enumerate(zip(self.level_offsets,
+                                            self.level_sizes)):
+            lvl = table[off:off + size]
+            oy = self._quad_oy(l) % size
+            cols = []
+            for o in (0, 1, oy, (oy + 1) % size):
+                cols.append(
+                    jnp.concatenate([lvl[o:], lvl[:o]], 0) if o else lvl)
+            parts.append(jnp.concatenate(cols, 1))    # (size, 4F)
+        return jnp.concatenate(parts, 0)
+
+    def _level_quad_indices(self, x: jnp.ndarray, level: int):
+        """Face-row indices for one level: (rows (N, 2) int32 into the
+        packed table — z=0 and z=1 faces), fx, fy (N,) saturated x/y
+        weights, wz (N, 2) z interpolation weights."""
+        scale = self.scales[level]
+        res = self.resolutions[level]
+        pos = x * scale + 0.5
+        idx0 = jnp.floor(pos)
+        frac = pos - idx0
+        idx0 = idx0.astype(jnp.int32)
+
+        # clamp the base so both +1 offsets stay in range; saturate the
+        # weight so boundary cells reproduce the clip semantics of the
+        # 8-corner path (same scheme as _level_pair_indices)
+        bx = jnp.clip(idx0[:, 0], 0, max(res - 2, 0))
+        by = jnp.clip(idx0[:, 1], 0, max(res - 2, 0))
+        fx = jnp.clip(pos[:, 0] - bx.astype(x.dtype), 0.0, 1.0)
+        fy = jnp.clip(pos[:, 1] - by.astype(x.dtype), 0.0, 1.0)
+        cz = jnp.clip(idx0[:, 2, None] + jnp.arange(2, dtype=jnp.int32),
+                      0, res - 1)                       # (N, 2)
+        fz = frac[:, 2]
+        wz = jnp.stack([1.0 - fz, fz], axis=-1)
+
+        if self.level_is_dense[level]:
+            rows = (bx[:, None] + by[:, None] * res + cz * res * res)
+        else:
+            h = (bx[:, None].astype(jnp.uint32)
+                 + by[:, None].astype(jnp.uint32) * jnp.uint32(_QUAD_RY)
+                 + _scramble_z(cz.astype(jnp.uint32)))
+            rows = (h % jnp.uint32(self.hashmap_size)).astype(jnp.int32)
+        return rows + self.level_offsets[level], fx, fy, wz
+
+    def quad_encode(
+        self,
+        quad_table: jnp.ndarray,
+        x: jnp.ndarray,
+        level_mask: jnp.ndarray | None = None,
+        compute_dtype=jnp.float32,
+    ) -> jnp.ndarray:
+        """Forward identical to `__call__` (quad hash) gathering TWO
+        face rows per (sample, level) from `make_quad_table(table)`."""
+        L, F = self.n_levels, self.F
+        N = x.shape[0]
+        rows, fxs, fys, wzs = [], [], [], []
+        for l in range(L):
+            r, fx, fy, wz = self._level_quad_indices(x, l)
+            rows.append(r)
+            fxs.append(fx)
+            fys.append(fy)
+            wzs.append(wz)
+        rows = jnp.stack(rows)                        # (L, N, 2)
+        fx = jnp.stack(fxs)[..., None, None]          # (L, N, 1, 1)
+        fy = jnp.stack(fys)[..., None, None]
+        wz = jnp.stack(wzs)                           # (L, N, 2)
+        feats = quad_table[rows.reshape(-1)].reshape(rows.shape + (4 * F,))
+        # corner order within a row: (x0y0, x1y0, x0y1, x1y1)
+        c00, c10 = feats[..., 0 * F:1 * F], feats[..., 1 * F:2 * F]
+        c01, c11 = feats[..., 2 * F:3 * F], feats[..., 3 * F:4 * F]
+        lo = c00 + fx * (c10 - c00)                   # (L, N, 2, F)
+        hi = c01 + fx * (c11 - c01)
+        face = lo + fy * (hi - lo)
+        out = jnp.sum(face * wz[..., None], axis=2)   # (L, N, F)
+        if level_mask is not None:
+            out = out * level_mask[:, None, None]
+        return jnp.moveaxis(out, 0, 1).reshape(N, L * F).astype(compute_dtype)
+
     def all_level_indices(self, x: jnp.ndarray):
         """Stacked (L, N, C) corner indices + interpolation weights."""
         idxs, ws = [], []
@@ -486,6 +628,8 @@ def _train_forward(enc: HashEncoding, table, x):
     (xor / paired_fwd=False)."""
     if enc.hash_mode == "lattice":
         return enc.cell_encode(enc.make_cell_table(table), x)
+    if enc.hash_mode == "quad":
+        return enc.quad_encode(enc.make_quad_table(table), x)
     if enc.paired_fwd and enc.hash_mode == "additive_x":
         return enc.paired_encode(enc.make_paired_table(table), x)
     return enc(table, x, compute_dtype=jnp.float32)

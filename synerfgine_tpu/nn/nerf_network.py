@@ -41,9 +41,14 @@ class NerfNetwork:
     def __init__(self, config: NGPNetworkConfig | None = None, aabb_scale: int = 1,
                  n_extra_dims: int = 0, use_pallas_mlp: bool = False,
                  paired_fwd: bool = True, hash_grad: str = "stochastic",
-                 hash_mode: str = "additive_x"):
+                 hash_mode: str = "additive_x", mlp_fp32: bool = False):
         config = config or NGPNetworkConfig()
         self.config = config
+        # mlp_fp32: run the MLP chain in fp32 instead of bf16 — a
+        # quality-suspect A/B lever (VERDICT r3 Weak #4: bf16 keeps 8
+        # mantissa bits where the reference's fp16 keeps 10; measure
+        # whether that costs PSNR before blaming anything else)
+        self.mlp_dtype = jnp.float32 if mlp_fp32 else jnp.bfloat16
         # hash-table backward on the training path: "stochastic" =
         # unbiased single-corner scatter (8x fewer updates);
         # "exact" = all-corner weighted scatter (the reference's
@@ -113,14 +118,15 @@ class NerfNetwork:
                       else exact_encode)
             feats = encode(
                 self.pos_encoding, params.hash_table, x, grad_u
-            ).astype(jnp.bfloat16)
+            ).astype(self.mlp_dtype)
         elif paired or paired_table is not None:
             enc = self.pos_encoding
             pt = (paired_table if paired_table is not None
                   else enc.make_paired_table(params.hash_table))
-            feats = enc.paired_encode(pt, x, level_mask, jnp.bfloat16)
+            feats = enc.paired_encode(pt, x, level_mask, self.mlp_dtype)
         else:
-            feats = self.pos_encoding(params.hash_table, x, level_mask, jnp.bfloat16)
+            feats = self.pos_encoding(params.hash_table, x, level_mask,
+                                      self.mlp_dtype)
         return self._apply_mlp(self.density_mlp, params.density_mlp, feats)
 
     def _apply_mlp(self, mlp, mlp_params, x):
@@ -128,7 +134,7 @@ class NerfNetwork:
             from .pallas_mlp import fused_mlp_apply
 
             return fused_mlp_apply(mlp, mlp_params, x)
-        return mlp(mlp_params, x)
+        return mlp(mlp_params, x, compute_dtype=self.mlp_dtype)
 
     def forward(
         self,

@@ -156,6 +156,7 @@ class NerfTrainer:
         depth_supervision_lambda: float = 0.0,
         segment_compaction: bool = True,
         linear_colors: bool = False,
+        near_distance: float = 0.1,
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
         remat: bool = False,
@@ -191,6 +192,11 @@ class NerfTrainer:
         # train_in_linear_colors (testbed_nerf.cu:1125-1131): compare the
         # composite in linear space; LDR targets are linearized per batch
         self.linear_colors = linear_colors
+        # near-plane density penalty distance (testbed.h:814 default
+        # 0.1): samples closer than this get a constant downward raw-
+        # density gradient — "prevents learning of camera-specific fudge
+        # right in front of the camera" (floaters). 0 disables.
+        self.near_distance = near_distance
         self.remat = remat
         # composite on the compacted batch (segmented scans) instead of
         # scatter_back to (R, K) + dense composite — bit-equivalent
@@ -388,7 +394,9 @@ class NerfTrainer:
         static shapes. Inactive and capacity-dropped rays are excluded
         from the loss entirely, like the reference's reservation-failed
         rays (testbed_nerf.cu:960-968)."""
+        mean_density = None
         if hasattr(bitfield, "bitfield"):
+            mean_density = bitfield.mean_density
             bitfield = bitfield.bitfield
         n_rays = n_rays or self.n_rays
         batch_size = batch_size or self.batch_size
@@ -515,6 +523,32 @@ class NerfTrainer:
                 # would oversample exactly the rays likeliest to drop)
                 per_ray = per_ray * kept
                 loss = ray_mean(per_ray)
+                # the reference's raw-density output regularizers
+                # (testbed_nerf.cu:1210-1265), loss-equivalent form with
+                # effective per-sample gradient 1e-4 / default loss
+                # scale 128:
+                # - while the grid's mean density is below the optical-
+                #   thickness floor (early training), L1-pull negative
+                #   raw densities toward 0 so exp-saturated cells keep
+                #   live gradients;
+                # - push density DOWN for samples closer than
+                #   near_distance ("camera-specific fudge right in front
+                #   of the camera" — floaters), gated at raw > -10.
+                raw_sigma = out[:, 3].astype(jnp.float32)
+                sv = comp_in.slot_valid
+                c_reg = 1e-4 / 128.0
+                if mean_density is not None:
+                    from ..core.constants import MIN_OPTICAL_THICKNESS
+
+                    l1_on = (mean_density
+                             < MIN_OPTICAL_THICKNESS).astype(jnp.float32)
+                    loss = loss + c_reg * l1_on * jnp.sum(
+                        jnp.where(sv, jax.nn.relu(-raw_sigma), 0.0))
+                if self.near_distance > 0:
+                    near = (sv & (comp_in.t < self.near_distance)
+                            & (raw_sigma > -10.0))
+                    loss = loss + c_reg * jnp.sum(
+                        jnp.where(near, raw_sigma, 0.0))
                 if self.depth_supervision_lambda > 0 and depth_gt is not None:
                     # only supervise rays with valid (>0) depth
                     # (testbed_nerf.cu:1680 target_depth > 0 gate); the

@@ -49,7 +49,8 @@ def albert_exr():
 
 
 # ---------------------------------------------------------- fast/slow tiers
-# `pytest -m fast` is the CI-sized tier (<5 min on CPU); the modules
+# `pytest -m fast` is the CI-sized tier (measured ~8 min on this
+# environment's CPU); the modules
 # below carry the end-to-end / compile-heavy tests and are marked slow.
 SLOW_MODULES = {
     "test_dist.py", "test_graft_entry.py", "test_testbed.py",
@@ -70,5 +71,5 @@ def pytest_collection_modifyitems(config, items):
 
 
 def pytest_configure(config):
-    config.addinivalue_line("markers", "fast: CI-sized tier (<5 min on CPU)")
+    config.addinivalue_line("markers", "fast: CI-sized tier (~8 min on CPU)")
     config.addinivalue_line("markers", "slow: e2e / compile-heavy tests")
