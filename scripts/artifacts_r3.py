@@ -20,7 +20,11 @@ import time
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 DOCS = REPO / "docs"
-MILESTONE_SNAP = pathlib.Path("/tmp/milestone/lego_ds1/model.sng")
+MILESTONE_SNAP = next(
+    (p for p in (pathlib.Path("/tmp/milestone_r4/lego_ds1/model.sng"),
+                 pathlib.Path("/tmp/milestone/lego_ds1/model.sng"))
+     if p.exists()),
+    pathlib.Path("/tmp/milestone_r4/lego_ds1/model.sng"))
 
 
 def log(*a):

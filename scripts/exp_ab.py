@@ -30,6 +30,18 @@ VARIANTS = {
     "exact": {"train": "--hash-grad exact", "eval": ""},
     "lattice": {"train": "--hash-mode lattice", "eval": ""},
     "nogrid": {"train": "--no-grid", "eval": "--no-grid"},
+    # round-4 levers (VERDICT r3 Next #4/#5):
+    # quad: additive x+y / scrambled-z face rows — the postmortem's
+    # fog-safe encode-transaction halving; adoption gate is PSNR parity
+    # with base at the same rungs
+    "quad": {"train": "--hash-mode quad", "eval": ""},
+    # fp32 MLPs: bf16 (8 mantissa bits) vs the reference's fp16 (10);
+    # isolates MLP precision from the quality-per-step gap
+    "fp32mlp": {"train": "--mlp-fp32", "eval": ""},
+    # shortened dense march after the coarse first-hit pre-pass
+    # (sample-set-equal by construction; this measures the step-time
+    # win and pins PSNR neutrality on chip)
+    "marchskip": {"train": "--march-skip 768", "eval": ""},
 }
 
 

@@ -51,7 +51,7 @@ def main():
         from synerfgine_tpu.io.snapshot import load_snapshot
 
         snap = load_snapshot(snap_path, hash_version=None)
-        hv_mode = {1: "xor", 2: "additive_x", 3: "lattice"}
+        hv_mode = {1: "xor", 2: "additive_x", 3: "lattice", 4: "quad"}
         net = NerfNetwork(cfg, aabb_scale=1,
                           hash_mode=hv_mode.get(snap["hash_version"],
                                                 "additive_x"))
