@@ -42,6 +42,10 @@ VARIANTS = {
     # (sample-set-equal by construction; this measures the step-time
     # win and pins PSNR neutrality on chip)
     "marchskip": {"train": "--march-skip 768", "eval": ""},
+    # freeze zero-grad hash rows (instant-ngp paper / tcnn
+    # skip_zero_grad): without it, stale momentum keeps moving the ~91%
+    # of rows the stochastic backward did NOT touch this step
+    "skipzero": {"train": "--adam-skip-zero", "eval": ""},
 }
 
 

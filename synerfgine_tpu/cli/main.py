@@ -79,6 +79,7 @@ def _build_trainer(args, dataset):
         train_distortion=getattr(args, "train_distortion", False),
         n_extra_dims=getattr(args, "n_extra_dims", 0),
         depth_supervision_lambda=getattr(args, "depth_lambda", 0.0),
+        adam_skip_zero_grad=getattr(args, "adam_skip_zero", False),
         march_skip_steps=getattr(args, "march_skip", 0),
         scan_block_steps=getattr(args, "scan_block", None),
         sharpness_weighted=getattr(args, "sharpness_weighted", False),
@@ -457,6 +458,10 @@ def main(argv=None):
         sp.add_argument("--mlp-fp32", action="store_true",
                         help="run the MLPs in fp32 instead of bf16 "
                              "(quality A/B lever)")
+        sp.add_argument("--adam-skip-zero", action="store_true",
+                        help="freeze hash rows with exactly-zero gradient "
+                             "each step (instant-ngp paper / tcnn "
+                             "skip_zero_grad)")
 
     sp = sub.add_parser("train")
     common(sp)

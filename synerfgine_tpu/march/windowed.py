@@ -110,7 +110,7 @@ def render_march_windowed(
         probe_k = jnp.arange(skip_lookahead, dtype=jnp.float32)[None, :]
         probe_ki = jnp.arange(skip_lookahead, dtype=jnp.int32)[None, :]
 
-    def coarse_skip(n_cur):
+    def coarse_skip(n_cur, o_r, d_r):
         """Advance each cursor past its leading provably-empty stretch:
         point-probe the dilated skip grid at world stride = one skip
         cell; the first hit at probe j proves [cursor, cursor + j*cell]
@@ -120,72 +120,107 @@ def render_march_windowed(
         skipless march."""
         t_cur = from_stepping_space(n_cur, cone_angle)
         tp = t_cur[:, None] + cell * probe_k
-        pp = o[:, None, :] + d[:, None, :] * tp[..., None]
+        pp = o_r[:, None, :] + d_r[:, None, :] * tp[..., None]
         hit = grid.skip_occupied_at(skip_grid, pp)
         first = jnp.min(jnp.where(hit, probe_ki, skip_lookahead),
                         axis=1).astype(jnp.float32)
         n_safe = to_stepping_space(t_cur + cell * first, cone_angle)
         return n_cur + jnp.maximum(jnp.floor(n_safe - n_cur), 0.0)
 
+    # Alive-ray tiers (the reference compacts rays_alive every loop
+    # iteration, testbed_nerf.cu:2279-2320, so dead rays cost nothing;
+    # under static shapes that becomes: compact alive rays to a prefix
+    # and switch between a few compiled prefix widths). Late iterations
+    # — most rays terminated or exited — stop paying the full (R, W)
+    # march-gather and skip-probe cost, which dominated render time.
+    ray_tiers = sorted({min(max(R // 16, 8), R), min(max(R // 4, 8), R), R})
+
     def body(state):
         it, n_cur, T, rgb, depth, opac, n_marched = state
-        if skip_grid is not None:
-            n_cur = coarse_skip(n_cur)
         alive = (T > min_transmittance) & (n_cur < n_lim)
-        n = n_cur[:, None] + steps_f
-        t = from_stepping_space(n, cone_angle)
-        dt = from_stepping_space(n + 1.0, cone_angle) - t
-        xs = o[:, None, :] + d[:, None, :] * t[..., None]
-        mip = mip_from_dt(dt, xs, grid.max_cascade)
-        valid = (alive[:, None] & (n < n_lim[:, None]) & aabb.contains(xs)
-                 & grid.occupied_at(bitfield, xs, mip))
-        if crop_mask is not None:
-            valid = valid & crop_mask(xs)
-        comp_in = compact_samples(
-            GridSamples(t=t, dt=dt, xs=xs, valid=valid), dirs_warped, B)
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        slot = jnp.where(alive, pos, R)
+        ridx = jnp.zeros((R + 1,), jnp.int32).at[slot].set(
+            jnp.arange(R, dtype=jnp.int32), mode="drop")[:R]
 
-        # prefix-tiered network: compaction packs the valid samples at
-        # the front, so when the window is mostly empty the network only
-        # needs a prefix of the batch. Tiers keep shapes static (three
-        # compiled sizes); late-march iterations with a handful of alive
-        # rays stop paying the full-budget MLP+hash cost.
-        nv = jnp.minimum(comp_in.n_valid, B)
+        def run_tier(nr):
+            B_t = min(B, nr * W)
 
-        def run_prefix(nb):
             def f():
-                out_p = net_apply(comp_in.xs[:nb], comp_in.dirs[:nb])
-                return jnp.concatenate(
-                    [out_p, jnp.zeros((B - nb, 4), jnp.float32)], axis=0)
+                rsel = ridx[:nr]                      # alive rays, packed
+                live_slot = jnp.arange(nr, dtype=jnp.int32) < n_alive
+                o_t, d_t = o[rsel], d[rsel]
+                nc = n_cur[rsel]
+                if skip_grid is not None:
+                    nc = coarse_skip(nc, o_t, d_t)
+                nlim_t = n_lim[rsel]
+                n = nc[:, None] + steps_f
+                t = from_stepping_space(n, cone_angle)
+                dt = from_stepping_space(n + 1.0, cone_angle) - t
+                xs = o_t[:, None, :] + d_t[:, None, :] * t[..., None]
+                mip = mip_from_dt(dt, xs, grid.max_cascade)
+                valid = (live_slot[:, None] & (n < nlim_t[:, None])
+                         & aabb.contains(xs)
+                         & grid.occupied_at(bitfield, xs, mip))
+                if crop_mask is not None:
+                    valid = valid & crop_mask(xs)
+                comp_in = compact_samples(
+                    GridSamples(t=t, dt=dt, xs=xs, valid=valid),
+                    dirs_warped[rsel], B_t)
+
+                # prefix-tiered network: compaction packs the valid
+                # samples at the front, so a mostly-empty window only
+                # runs the network on a prefix of the batch
+                nv = jnp.minimum(comp_in.n_valid, B_t)
+
+                def run_prefix(nb):
+                    def g():
+                        out_p = net_apply(comp_in.xs[:nb],
+                                          comp_in.dirs[:nb])
+                        return jnp.concatenate(
+                            [out_p,
+                             jnp.zeros((B_t - nb, 4), jnp.float32)],
+                            axis=0)
+                    return g
+
+                tiers = sorted({max(B_t // 16, 1), max(B_t // 4, 1), B_t})
+                branch = jnp.searchsorted(jnp.asarray([0] + tiers), nv)
+                out = jax.lax.switch(
+                    branch,
+                    [lambda: jnp.zeros((B_t, 4), jnp.float32)]
+                    + [run_prefix(nb) for nb in tiers],
+                )
+                kept = comp_in.valid                  # (nr, W) post-clip
+
+                # advance to the first valid-but-clipped sample (re-
+                # marched next iteration); clipping is suffix-ordered
+                # within a row, so kept never follows a clipped sample
+                dropped = valid & ~kept
+                first_drop = jnp.min(
+                    jnp.where(dropped, steps_i[:, :W], W),
+                    axis=1).astype(jnp.float32)
+
+                # composite against the FULL ray set: map prefix rows
+                # back to real ray ids; rays outside the tier keep their
+                # carried T and contribute nothing
+                comp_in = comp_in._replace(ray_idx=rsel[comp_in.ray_idx])
+                comp = composite_compacted(out, comp_in, R,
+                                           min_transmittance, T0=T)
+                tgt = jnp.where(live_slot, rsel, R)
+                n_next = n_cur.at[tgt].set(nc + first_drop, mode="drop")
+                nm = n_marched.at[tgt].add(
+                    jnp.sum(kept, axis=1).astype(jnp.int32), mode="drop")
+                return (n_next, comp.transmittance, rgb + comp.rgb,
+                        depth + comp.depth, opac + comp.opacity, nm)
             return f
 
-        tiers = sorted({max(B // 16, 1), max(B // 4, 1), B})
-        branch = jnp.searchsorted(jnp.asarray([0] + tiers), nv)
-        out = jax.lax.switch(
-            branch,
-            [lambda: jnp.zeros((B, 4), jnp.float32)]
-            + [run_prefix(nb) for nb in tiers],
-        )
-        kept = comp_in.valid                              # (R, W) post-clip
-
-        # advance to the first valid-but-clipped sample (re-marched next
-        # iteration); clipping is suffix-ordered within a row, so kept
-        # samples never follow a clipped one
-        dropped = valid & ~kept
-        first_drop = jnp.min(
-            jnp.where(dropped, steps_i, W), axis=1).astype(jnp.float32)
-        n_next = jnp.where(alive, n_cur + first_drop, n_cur)
-
-        # segmented composite on the compacted window batch with the
-        # carried per-ray transmittance (march/compacted.py) — no
-        # scatter_back, no dense (R, W) composite
-        comp = composite_compacted(out, comp_in, R, min_transmittance,
-                                   T0=T)
-        rgb = rgb + comp.rgb
-        depth = depth + comp.depth
-        opac = opac + comp.opacity
-        n_marched = n_marched + jnp.sum(kept, axis=1).astype(jnp.int32)
-        return (it + 1, n_next, comp.transmittance, rgb, depth, opac,
-                n_marched)
+        branch_r = jnp.searchsorted(
+            jnp.asarray(ray_tiers), n_alive, side="left")
+        branch_r = jnp.minimum(branch_r, len(ray_tiers) - 1)
+        n_next, T, rgb, depth, opac, n_marched = jax.lax.switch(
+            branch_r, [run_tier(nr) for nr in ray_tiers])
+        return (it + 1, n_next, T, rgb, depth, opac, n_marched)
 
     init = (
         jnp.int32(0),

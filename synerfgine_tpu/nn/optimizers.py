@@ -46,14 +46,24 @@ def lr_at_step(cfg: OptimizerConfig, step: jnp.ndarray) -> jnp.ndarray:
 
 
 class NGPOptimizer:
-    def __init__(self, cfg: OptimizerConfig | None = None, l2_mask_fn=None):
+    def __init__(self, cfg: OptimizerConfig | None = None, l2_mask_fn=None,
+                 skip_zero_grad: bool = False):
         """l2_mask_fn(path_leaf) -> bool: whether L2 reg applies to a leaf.
 
         Default: apply L2 to everything except the hash table (leaf named
         'hash_table' in NerfParams) — matching tcnn matrix-params-only decay.
-        """
+
+        skip_zero_grad: freeze hash-table entries whose gradient is
+        exactly 0 this step (no moment update, no parameter step) — the
+        instant-ngp paper's "we skip Adam steps for hash table entries
+        whose gradient is exactly 0" (tcnn adam.h skip_zero_grad).
+        Without it, momentum keeps moving untouched rows for ~40 steps
+        after their last gradient — and the stochastic single-corner
+        backward touches only ~9% of rows per step, so ~91% of the
+        table is being smeared by stale momentum every step."""
         self.cfg = cfg or OptimizerConfig()
         self._l2_mask_fn = l2_mask_fn
+        self.skip_zero_grad = skip_zero_grad
 
     def _l2_mask(self, params):
         if self._l2_mask_fn is not None:
@@ -98,6 +108,17 @@ class NGPOptimizer:
             lambda p, m, v: p - lr_t * m / (jnp.sqrt(v) + a.epsilon),
             params, mu, nu,
         )
+        if self.skip_zero_grad and hasattr(params, "_fields") \
+                and "hash_table" in params._fields:
+            # zero-grad hash rows keep params AND moments (frozen step)
+            g0 = grads.hash_table
+            upd = g0 != 0.0
+            mu = mu._replace(hash_table=jnp.where(
+                upd, mu.hash_table, state.adam.mu.hash_table))
+            nu = nu._replace(hash_table=jnp.where(
+                upd, nu.hash_table, state.adam.nu.hash_table))
+            new_params = new_params._replace(hash_table=jnp.where(
+                upd, new_params.hash_table, params.hash_table))
         ema_d = cfg.ema_decay
         # tcnn Ema debiases by (1 - decay^step) so early-training inference
         # is not biased toward the init.

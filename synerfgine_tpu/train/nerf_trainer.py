@@ -157,6 +157,7 @@ class NerfTrainer:
         segment_compaction: bool = True,
         linear_colors: bool = False,
         near_distance: float = 0.1,
+        adam_skip_zero_grad: bool = False,
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
         remat: bool = False,
@@ -178,7 +179,8 @@ class NerfTrainer:
         self.loss_fn = get_loss(loss_name or network.config.loss)
         self.aabb = scene_aabb(dataset.aabb_scale)
         self.cone_angle = 0.0 if dataset.aabb_scale <= 1 else 1.0 / 256.0
-        self.opt = NGPOptimizer(network.config.optimizer)
+        self.opt = NGPOptimizer(network.config.optimizer,
+                                skip_zero_grad=adam_skip_zero_grad)
         self.grid = OccupancyGrid(dataset.aabb_scale)
         self.grid_update_cadence = grid_update_cadence
         self.grid_warmup_steps = grid_warmup_steps

@@ -185,6 +185,45 @@ def test_adam_converges_quadratic():
     np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(target), atol=1e-2)
 
 
+def test_adam_skip_zero_grad_freezes_untouched_rows():
+    """With skip_zero_grad, hash rows whose gradient is exactly 0 keep
+    their params AND moments (instant-ngp paper / tcnn skip_zero_grad);
+    without it, stale momentum keeps moving them."""
+    from synerfgine_tpu.nn.nerf_network import NerfParams
+
+    def mk(skip):
+        opt = NGPOptimizer(
+            OptimizerConfig(adam=AdamConfig(learning_rate=0.1, l2_reg=0.0)),
+            skip_zero_grad=skip)
+        params = NerfParams(hash_table=jnp.ones((8, 2)),
+                            density_mlp=[jnp.ones((2, 2))],
+                            rgb_mlp=[jnp.ones((2, 2))])
+        state = opt.init(params)
+        g_hot = params._replace(
+            hash_table=jnp.zeros((8, 2)).at[0].set(1.0),
+            density_mlp=[jnp.ones((2, 2))], rgb_mlp=[jnp.ones((2, 2))])
+        g_zero = params._replace(
+            hash_table=jnp.zeros((8, 2)),
+            density_mlp=[jnp.ones((2, 2))], rgb_mlp=[jnp.ones((2, 2))])
+        # step 1: row 0 gets gradient; step 2: nobody does
+        params, state = opt.update(g_hot, state, params)
+        p_after_1 = np.asarray(params.hash_table).copy()
+        params, state = opt.update(g_zero, state, params)
+        return p_after_1, np.asarray(params.hash_table)
+
+    p1, p2 = mk(skip=True)
+    # rows 1..7 never saw a gradient: identical to init both steps
+    np.testing.assert_array_equal(p1[1:], np.ones((7, 2)))
+    np.testing.assert_array_equal(p2[1:], np.ones((7, 2)))
+    # row 0 moved on step 1 but is frozen on the zero-grad step 2
+    assert not np.allclose(p1[0], 1.0)
+    np.testing.assert_array_equal(p2[0], p1[0])
+
+    p1, p2 = mk(skip=False)
+    # default behavior: momentum keeps moving row 0 on the zero-grad step
+    assert not np.allclose(p2[0], p1[0])
+
+
 def test_ema_params_trail_raw():
     opt = NGPOptimizer(OptimizerConfig(adam=AdamConfig(learning_rate=1.0)))
     params = {"w": jnp.zeros(1)}
