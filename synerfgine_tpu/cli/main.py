@@ -80,6 +80,8 @@ def _build_trainer(args, dataset):
         n_extra_dims=getattr(args, "n_extra_dims", 0),
         depth_supervision_lambda=getattr(args, "depth_lambda", 0.0),
         adam_skip_zero_grad=getattr(args, "adam_skip_zero", False),
+        snap_to_pixel_centers=not getattr(args, "no_snap_pixel_centers",
+                                          False),
         march_skip_steps=getattr(args, "march_skip", 0),
         scan_block_steps=getattr(args, "scan_block", None),
         sharpness_weighted=getattr(args, "sharpness_weighted", False),
@@ -462,6 +464,10 @@ def main(argv=None):
                         help="freeze hash rows with exactly-zero gradient "
                              "each step (instant-ngp paper / tcnn "
                              "skip_zero_grad)")
+        sp.add_argument("--no-snap-pixel-centers", action="store_true",
+                        help="train rays at continuous sub-pixel uv "
+                             "instead of the reference's texel-center "
+                             "snap (A/B lever)")
 
     sp = sub.add_parser("train")
     common(sp)

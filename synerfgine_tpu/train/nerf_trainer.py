@@ -158,6 +158,7 @@ class NerfTrainer:
         linear_colors: bool = False,
         near_distance: float = 0.1,
         adam_skip_zero_grad: bool = False,
+        snap_to_pixel_centers: bool = True,
         scan_block_steps: int | None = None,
         sharpness_weighted: bool = False,
         remat: bool = False,
@@ -199,6 +200,16 @@ class NerfTrainer:
         # density gradient — "prevents learning of camera-specific fudge
         # right in front of the camera" (floaters). 0 disables.
         self.near_distance = near_distance
+        # training rays go through the CENTER of the texel that
+        # supervises them (the reference's snap_to_pixel_centers
+        # training default, testbed.h:794 +
+        # nerf_random_image_pos_training, nerf_device.cuh:553-576).
+        # Without the snap, a ray at a random sub-pixel offset is
+        # supervised by the point-sampled texel up to half a pixel away
+        # - supervision jitter that acts as a blur kernel on fine
+        # detail. Eval renders at pixel centers, so snapped training
+        # also aligns train and eval sample positions exactly.
+        self.snap_to_pixel_centers = snap_to_pixel_centers
         self.remat = remat
         # composite on the compacted batch (segmented scans) instead of
         # scatter_back to (R, K) + dense composite — bit-equivalent
@@ -334,6 +345,11 @@ class NerfTrainer:
             uv = jax.random.uniform(k_uv, (n_rays, 2))
         px = jnp.minimum((uv[:, 0] * w).astype(jnp.int32), w - 1)
         py = jnp.minimum((uv[:, 1] * h).astype(jnp.int32), h - 1)
+        if self.snap_to_pixel_centers:
+            # ray through the supervising texel's center (reference
+            # training default; see __init__)
+            uv = (jnp.stack([px, py], axis=-1).astype(jnp.float32)
+                  + 0.5) / jnp.asarray([w, h], jnp.float32)
         texel = images[img_idx, py, px].astype(jnp.float32) / 255.0
         if self.linear_colors:
             from ..io.image import srgb_to_linear
