@@ -23,7 +23,7 @@ import subprocess
 import sys
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
-OUT = REPO / "docs" / "experiments" / "ab_r3"
+OUT_DEFAULT = REPO / "docs" / "experiments" / "ab_r3"
 
 VARIANTS = {
     "base": {"train": "", "eval": ""},
@@ -60,7 +60,11 @@ def main():
                     help="overall budget; split evenly across variants")
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of variants")
+    ap.add_argument("--out", default=str(OUT_DEFAULT),
+                    help="artifact directory (use ab_r4 for round-4 "
+                         "sets so they don't collide with banked r3)")
     args = ap.parse_args()
+    OUT = pathlib.Path(args.out)
 
     names = (args.only.split(",") if args.only else list(VARIANTS))
     per_budget = args.budget_s // len(names)

@@ -1,0 +1,196 @@
+"""Round-4 serialized chip queue — runs after the headline ds1 ladder.
+
+Stages (each probes the relay, runs in a subprocess with a timeout, and
+skips itself when its artifact already exists — resumable):
+
+  ab      ds2 1024-step PSNR A/Bs: skipzero, quad, marchskip, fp32mlp
+  hybrid  720p/1080p hybrid frame sweep on the trained ds1 snapshot
+  fox     fox scene ladder (big-aabb + OpenCV lens artifact)
+  orbit   lego orbit frames from the ds1 snapshot
+  trace   fresh jax.profiler trace of a steady train block
+  mosaic  Pallas VMEM gather re-test (bounded; hang-safe)
+  cache   persistent-compile-cache diagnosis
+  bench   bench.py (writes the round JSON)
+
+Usage: python scripts/r4_queue.py [stage ...]
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+DOCS = REPO / "docs"
+EXP = DOCS / "experiments"
+SNAP = pathlib.Path("/tmp/milestone_r4/lego_ds1/model.sng")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def probe(timeout_s=150):
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; print(float(jnp.ones(3).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_device():
+    while not probe():
+        log("relay down; waiting 120 s")
+        time.sleep(120)
+
+
+def run(args, timeout_s, out_file=None, env=None):
+    import os
+
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    log("+", " ".join(map(str, args)))
+    try:
+        r = subprocess.run([sys.executable] + [str(a) for a in args],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, cwd=REPO, env=e)
+    except subprocess.TimeoutExpired:
+        log("TIMEOUT")
+        return None
+    sys.stderr.write((r.stderr or "")[-1500:])
+    lines = [l for l in (r.stdout or "").splitlines() if l.startswith("{")]
+    if out_file and lines:
+        pathlib.Path(out_file).write_text("\n".join(lines) + "\n")
+    if not lines:
+        sys.stderr.write((r.stdout or "")[-800:])
+    return lines
+
+
+def stage_ab():
+    # fresh ds2 set in ab_r4 (the banked ab_r3 base predates the
+    # pixel-center snap; round-4 levers need a same-config base)
+    wait_device()
+    run(["scripts/exp_ab.py",
+         "--only", "base,skipzero,quad,marchskip,fp32mlp",
+         "--steps", "1024", "--downscale", "2",
+         "--eval-at", "256,512,1024", "--eval-views", "4",
+         "--budget-s", "6000", "--out", str(EXP / "ab_r4")], 12000)
+
+
+def stage_hybrid():
+    import os
+
+    if (EXP / "hybrid_sweep.json").exists() and json.loads(
+            (EXP / "hybrid_sweep.json").read_text()):
+        log("hybrid: already done")
+        return
+    if not SNAP.exists():
+        log("hybrid: no snapshot")
+        return
+    EXP.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for H, W, sweep in ((720, 1280, "1"), (1080, 1920, "")):
+        wait_device()
+        lines = run(["scripts/exp_hybrid.py"], 3000,
+                    env={"HYBRID_SNAPSHOT": str(SNAP), "HYBRID_W": str(W),
+                         "HYBRID_H": str(H), "HYBRID_SWEEP": sweep})
+        for ln in lines or []:
+            rows.append(json.loads(ln))
+            log(ln)
+    if rows:
+        (EXP / "hybrid_sweep.json").write_text(json.dumps(rows, indent=2))
+        log("hybrid sweep banked")
+
+
+def stage_fox():
+    d = DOCS / "milestone_fox"
+    if (d / "progress.json").exists() and json.loads(
+            (d / "progress.json").read_text()).get("evals"):
+        log("fox: already done")
+        return
+    wait_device()
+    run(["scripts/milestone.py", "--scene", "/root/reference/data/nerf/fox",
+         "--downscale", "4", "--target-steps", "1024",
+         "--chunk-steps", "256", "--eval-at", "512,1024",
+         "--eval-views", "4", "--budget-s", "1500",
+         "--dir", "/tmp/milestone_fox"], 4800)
+    src = pathlib.Path("/tmp/milestone_fox/fox_ds4")
+    if (src / "progress.json").exists():
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "progress.json").write_text((src / "progress.json").read_text())
+        for rd in sorted(src.glob("renders_*")):
+            for f in (sorted(rd.glob("render_00[01].png"))
+                      + sorted(rd.glob("gt_000.png"))):
+                (d / f"{rd.name}_{f.name}").write_bytes(f.read_bytes())
+        log("fox artifacts banked")
+
+
+def stage_orbit(n_frames=24):
+    d = DOCS / "demo_frames" / "lego_orbit_r4"
+    if d.exists() and len(list(d.glob("*.png"))) >= n_frames:
+        log("orbit: already done")
+        return
+    if not SNAP.exists():
+        log("orbit: no snapshot")
+        return
+    wait_device()
+    run(["scripts/make_demo_path.py", "/tmp/orbit_path.json"], 300)
+    run(["-m", "synerfgine_tpu.cli.main", "render",
+         "--scene", "/root/reference/data/nerf/lego",
+         "--load-snapshot", str(SNAP),
+         "--camera-path", "/tmp/orbit_path.json",
+         "--n-frames", str(n_frames), "--width", "400", "--height", "400",
+         "--out", str(d)], 3000)
+
+
+def stage_trace():
+    d = DOCS / "profiles" / "r4_trace"
+    if d.exists() and any(d.rglob("*.json.gz")):
+        log("trace: already done")
+        return
+    wait_device()
+    run(["-m", "synerfgine_tpu.cli.main", "train",
+         "--scene", "/root/reference/data/nerf/lego", "--downscale", "2",
+         "--n-steps", "16", "--profile", str(d)]
+        + (["--load-snapshot", str(SNAP)] if SNAP.exists() else []), 2400)
+    gz = sorted(d.rglob("*.trace.json.gz"))
+    if gz:
+        run(["scripts/trace_topops.py", gz[-1], d / "TOP_OPS_DEVICE.txt"],
+            600)
+
+
+def stage_mosaic():
+    wait_device()
+    run(["scripts/exp_mosaic_gather.py"], 900,
+        out_file=EXP / "mosaic_gather_r4.json")
+
+
+def stage_cache():
+    wait_device()
+    run(["scripts/exp_cache_diag.py"], 2400,
+        out_file=EXP / "cache_diag_r4.json")
+
+
+def stage_bench():
+    wait_device()
+    run(["bench.py"], 3000, out_file=EXP / "bench_preview_r4.json")
+
+
+STAGES = {"ab": stage_ab, "hybrid": stage_hybrid, "fox": stage_fox,
+          "orbit": stage_orbit, "trace": stage_trace,
+          "mosaic": stage_mosaic, "cache": stage_cache,
+          "bench": stage_bench}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["ab", "hybrid", "fox", "orbit", "trace",
+                             "mosaic", "cache", "bench"]
+    for s in names:
+        log(f"=== stage {s} ===")
+        STAGES[s]()
+    log("queue done")
