@@ -179,7 +179,13 @@ class NerfTrainer:
         self.random_bg = random_bg
         self.loss_fn = get_loss(loss_name or network.config.loss)
         self.aabb = scene_aabb(dataset.aabb_scale)
-        self.cone_angle = 0.0 if dataset.aabb_scale <= 1 else 1.0 / 256.0
+        # the reference cone-marches at 1/256 for EVERY scene
+        # (cone_angle_constant default, testbed.h:861; calc_cone_angle
+        # returns the constant unconditionally, nerf_device.cuh:370).
+        # Round 1-3 disabled it for aabb_scale=1, taking uniform fine
+        # steps everywhere: ~1.5-2x the reference's samples per ray at
+        # lego-like camera distances for the same rays and targets.
+        self.cone_angle = 1.0 / 256.0
         self.opt = NGPOptimizer(network.config.optimizer,
                                 skip_zero_grad=adam_skip_zero_grad)
         self.grid = OccupancyGrid(dataset.aabb_scale)
