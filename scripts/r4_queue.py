@@ -73,14 +73,30 @@ def run(args, timeout_s, out_file=None, env=None):
 
 
 def stage_ab():
-    # fresh ds2 set in ab_r4 (the banked ab_r3 base predates the
-    # pixel-center snap; round-4 levers need a same-config base)
+    # QUALITY set at ds1-512: the 1024-step ladder renders show
+    # pervasive high-frequency grain (gradient variance); the prime
+    # suspect is the stochastic single-corner hash backward, whose r3
+    # exoneration was at ds2 pre-fill/pre-cone. Base = the ladder's own
+    # 512 rung (identical config), so only the 3 variants run.
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "base,skipzero,quad,marchskip,fp32mlp",
+         "--only", "exact,skipzero,fp32mlp",
+         "--steps", "512", "--downscale", "1",
+         "--eval-at", "512", "--eval-views", "4",
+         "--budget-s", "4200", "--out", str(EXP / "ab_r4")], 9000)
+
+
+def stage_ab_perf():
+    # THROUGHPUT set at ds2: with cone stepping the K=1024 dense march
+    # dominates step time, so marchskip is the top lever; quad halves
+    # the encode gathers. base gives the same-session step-time
+    # reference.
+    wait_device()
+    run(["scripts/exp_ab.py",
+         "--only", "base,marchskip,quad",
          "--steps", "1024", "--downscale", "2",
          "--eval-at", "256,512,1024", "--eval-views", "4",
-         "--budget-s", "6000", "--out", str(EXP / "ab_r4")], 12000)
+         "--budget-s", "4200", "--out", str(EXP / "ab_r4")], 9000)
 
 
 def stage_hybrid():
@@ -182,14 +198,14 @@ def stage_bench():
     run(["bench.py"], 3000, out_file=EXP / "bench_preview_r4.json")
 
 
-STAGES = {"ab": stage_ab, "hybrid": stage_hybrid, "fox": stage_fox,
-          "orbit": stage_orbit, "trace": stage_trace,
+STAGES = {"ab": stage_ab, "abperf": stage_ab_perf, "hybrid": stage_hybrid,
+          "fox": stage_fox, "orbit": stage_orbit, "trace": stage_trace,
           "mosaic": stage_mosaic, "cache": stage_cache,
           "bench": stage_bench}
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["ab", "hybrid", "fox", "orbit", "trace",
-                             "mosaic", "cache", "bench"]
+    names = sys.argv[1:] or ["ab", "abperf", "hybrid", "fox", "orbit",
+                             "trace", "mosaic", "cache", "bench"]
     for s in names:
         log(f"=== stage {s} ===")
         STAGES[s]()

@@ -73,6 +73,22 @@ def test_snapshot_no_optimizer(tmp_path):
     assert len(snap["params"]) == len(jax.tree.leaves(params))
 
 
+def test_snapshot_quad_version_and_adaptive_rays(tmp_path):
+    """hash_version 4 (quad) snapshots carry their version through the
+    gate, and the adaptive ray count survives the roundtrip."""
+    net = _tiny_network()
+    params = net.init(jax.random.PRNGKey(1))
+    path = str(tmp_path / "q.sng")
+    save_snapshot(path, params, hash_version=4, adaptive_rays=6789)
+    snap = load_snapshot(path, hash_version=4)
+    assert snap["hash_version"] == 4
+    assert snap["adaptive_rays"] == 6789
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_version"):
+        load_snapshot(path)  # default gate (v2) must refuse a quad table
+
+
 def test_snapshot_rejects_garbage(tmp_path):
     p = tmp_path / "bad.sng"
     p.write_bytes(b"NOPE123456")
