@@ -42,6 +42,10 @@ VARIANTS = {
     # (sample-set-equal by construction; this measures the step-time
     # win and pins PSNR neutrality on chip)
     "marchskip": {"train": "--march-skip 768", "eval": ""},
+    # span-fitted dense march K (sample-set-equal by construction,
+    # tests/test_march_span.py; measures the (R, K) march-tensor
+    # shrink on chip — lego ds1 fits in ~448 of 1024 steps under cone)
+    "spanfit": {"train": "--fit-march-span", "eval": ""},
     # freeze zero-grad hash rows (instant-ngp paper / tcnn
     # skip_zero_grad): without it, stale momentum keeps moving the ~91%
     # of rows the stochastic backward did NOT touch this step

@@ -83,6 +83,7 @@ def _build_trainer(args, dataset):
         snap_to_pixel_centers=not getattr(args, "no_snap_pixel_centers",
                                           False),
         march_skip_steps=getattr(args, "march_skip", 0),
+        fit_march_span=getattr(args, "fit_march_span", False),
         scan_block_steps=getattr(args, "scan_block", None),
         sharpness_weighted=getattr(args, "sharpness_weighted", False),
     )
@@ -499,6 +500,12 @@ def main(argv=None):
                     help="coarse first-hit pre-pass + dense march of this "
                          "many steps (0 = full 1024-step march); the "
                          "steps must cover the scene's occupied span")
+    sp.add_argument("--fit-march-span", action="store_true",
+                    help="clamp the dense training march to a "
+                         "conservative stepping-span bound computed from "
+                         "the dataset cameras (sample-set-equal; shrinks "
+                         "the (R, K) march tensors ~2-3x for cameras "
+                         "outside the aabb under cone stepping)")
     sp.add_argument("--hash-grad", default="stochastic",
                     choices=["stochastic", "exact"],
                     help="hash-table backward: unbiased single-corner "

@@ -164,6 +164,7 @@ class NerfTrainer:
         remat: bool = False,
         compacted_composite: bool = True,
         march_skip_steps: int = 0,
+        fit_march_span: bool = False,
         spmd_axis: str | None = None,
         n_shards: int = 1,
     ):
@@ -227,6 +228,27 @@ class NerfTrainer:
         # empty space before the first occupied region. Steps must cover
         # the scene's largest occupied span along any ray.
         self.march_skip_steps = march_skip_steps
+        # Span-fitted K (sample-set-equal march shortening): bound the
+        # stepping-space units any training ray spends inside the aabb
+        # from the dataset camera origins and clamp n_march_steps to it.
+        # Samples past the aabb exit are invalid in the full march too,
+        # so the valid set — and therefore training — is unchanged; only
+        # the dense (R, K) march tensors shrink (~2.3x at lego ds1 under
+        # cone 1/256). See march/dda.py stepping_span_bound.
+        if fit_march_span and use_grid and march_skip_steps == 0:
+            from ..march.dda import stepping_span_bound
+
+            k_fit = stepping_span_bound(
+                self.aabb,
+                np.asarray(dataset.xforms)[:, :3, 3],
+                self.cone_angle)
+            if dataset.xforms_end is not None:
+                k_fit = max(k_fit, stepping_span_bound(
+                    self.aabb,
+                    np.asarray(dataset.xforms_end)[:, :3, 3],
+                    self.cone_angle))
+            k_fit = max(64, -(-k_fit // 64) * 64)
+            self.n_march_steps = min(self.n_march_steps, k_fit)
         # SPMD data parallelism (SURVEY.md §2.4 "first-class" row): when
         # spmd_axis is set, the SAME step functions below run per-shard
         # inside shard_map — rays/batch divided by n_shards, gradients
