@@ -80,23 +80,25 @@ def stage_ab():
     # 512 rung (identical config), so only the 3 variants run.
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "exact,skipzero,fp32mlp",
+         "--only", "exact,skipzero,fp32mlp,quad",
          "--steps", "512", "--downscale", "1",
          "--eval-at", "512", "--eval-views", "4",
-         "--budget-s", "4200", "--out", str(EXP / "ab_r4")], 9000)
+         "--budget-s", "5600", "--out", str(EXP / "ab_r4")], 12000)
 
 
 def stage_ab_perf():
     # THROUGHPUT set at ds2: with cone stepping the K=1024 dense march
-    # dominates step time, so marchskip is the top lever; quad halves
-    # the encode gathers. base gives the same-session step-time
-    # reference.
+    # dominates step time, so the march-shorteners are the top levers —
+    # marchskip (skip-grid pre-pass) and spanfit (camera-span clamp,
+    # sample-set-equal). base gives the same-session step-time
+    # reference; PSNR @512 sanity-checks neutrality (quad's real
+    # quality read runs in the ds1 set).
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "base,marchskip,quad",
-         "--steps", "1024", "--downscale", "2",
-         "--eval-at", "256,512,1024", "--eval-views", "4",
-         "--budget-s", "4200", "--out", str(EXP / "ab_r4")], 9000)
+         "--only", "base,marchskip,spanfit",
+         "--steps", "512", "--downscale", "2",
+         "--eval-at", "256,512", "--eval-views", "4",
+         "--budget-s", "3600", "--out", str(EXP / "ab_r4")], 8000)
 
 
 def stage_hybrid():
