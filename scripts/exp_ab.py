@@ -46,6 +46,14 @@ VARIANTS = {
     # tests/test_march_span.py; measures the (R, K) march-tensor
     # shrink on chip — lego ds1 fits in ~448 of 1024 steps under cone)
     "spanfit": {"train": "--fit-march-span", "eval": ""},
+    # quad rows + the quad face-row EXACT backward (two 4F-wide
+    # scatters per sample-level + 4 static rolls — the lattice cell-row
+    # trick at quad granularity): exact reference gradients at a
+    # fraction of the generic 8-corner scatter cost, without lattice's
+    # structured-collision fog. If ds1 shows exact matters, this is the
+    # adoptable config.
+    "quadexact": {"train": "--hash-mode quad --hash-grad exact",
+                  "eval": ""},
     # freeze zero-grad hash rows (instant-ngp paper / tcnn
     # skip_zero_grad): without it, stale momentum keeps moving the ~91%
     # of rows the stochastic backward did NOT touch this step

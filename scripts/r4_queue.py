@@ -80,10 +80,10 @@ def stage_ab():
     # 512 rung (identical config), so only the 3 variants run.
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "exact,skipzero,fp32mlp,quad",
+         "--only", "exact,quadexact,quad,skipzero,fp32mlp",
          "--steps", "512", "--downscale", "1",
          "--eval-at", "512", "--eval-views", "4",
-         "--budget-s", "5600", "--out", str(EXP / "ab_r4")], 12000)
+         "--budget-s", "8000", "--out", str(EXP / "ab_r4")], 14000)
 
 
 def stage_ab_perf():

@@ -694,7 +694,7 @@ def exact_encode(enc: HashEncoding, table: jnp.ndarray, x: jnp.ndarray,
 
 
 def _exact_fwd(enc: HashEncoding, table, x, u):
-    if enc.hash_mode == "lattice":
+    if enc.hash_mode in ("lattice", "quad"):
         # residual is just x: base rows / weights are cheap VPU math,
         # recomputed in the backward (no (L, N, C) residual traffic)
         return _train_forward(enc, table, x), (x,)
@@ -766,13 +766,67 @@ def _lattice_exact_bwd(enc: HashEncoding, x, g):
     return jnp.concatenate(parts, axis=0)
 
 
+def _quad_exact_bwd(enc: HashEncoding, x, g):
+    """Exact all-corner gradient under the quad hash at TWO wide
+    scatters per (sample, level): a cell's 8 corners are two z-faces,
+    each a (4F)-wide row at a STATIC offset set {0, 1, o_y, o_y+1}
+    from its base row (additive x/y), so the weighted cotangents
+    scatter as (N, 2) face rows of width 4F and fold onto the table
+    with 4 static rolls per level — the lattice cell-row trick
+    (f273d75) at quad granularity, 4x fewer scatter rows than the
+    generic 8-corner path and fog-safe (scrambled z keeps collisions
+    unstructured). Row/weight math recomputes `_level_quad_indices`
+    so backward clamp semantics match the forward exactly."""
+    L, F = enc.n_levels, enc.F
+    N = x.shape[0]
+    RMAX = 1 << 18
+    parts = []
+    for l, (off, size) in enumerate(zip(enc.level_offsets,
+                                        enc.level_sizes)):
+        rows, fx, fy, wz = enc._level_quad_indices(x, l)
+        row = rows - off                                    # (N, 2) local
+        fx = fx.astype(jnp.float32)
+        fy = fy.astype(jnp.float32)
+        # corner order within a row: (x0y0, x1y0, x0y1, x1y1)
+        cw = jnp.stack([(1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
+                        (1.0 - fx) * fy, fx * fy], axis=-1)  # (N, 4)
+        # (N, 2, 4, F): face weight x corner weight x cotangent
+        wg = (wz.astype(jnp.float32)[:, :, None, None]
+              * cw[:, None, :, None] * g[l][:, None, None, :])
+        wg = wg.reshape(N * 2, 4 * F)
+        row = row.reshape(N * 2)
+        if size <= RMAX:
+            buf = jnp.zeros((size, 4 * F), jnp.float32).at[row].add(wg)
+        else:
+            parts_b = []
+            for j in range(0, size, RMAX):
+                n_rows = min(RMAX, size - j)
+                local = row - j
+                ok = (local >= 0) & (local < n_rows)
+                tgt = jnp.where(ok, local, n_rows)
+                parts_b.append(
+                    jnp.zeros((n_rows + 1, 4 * F), jnp.float32)
+                    .at[tgt].add(jnp.where(ok[:, None], wg, 0.0),
+                                 mode="drop")[:n_rows])
+            buf = jnp.concatenate(parts_b, axis=0)
+        oy = enc._quad_oy(l) % size
+        acc = jnp.zeros((size, F), jnp.float32)
+        for k, o in enumerate((0, 1, oy, (oy + 1) % size)):
+            blk = buf[:, k * F:(k + 1) * F]
+            acc = acc + (jnp.roll(blk, o, axis=0) if o else blk)
+        parts.append(acc)
+    return jnp.concatenate(parts, axis=0)
+
+
 def _exact_bwd(enc: HashEncoding, res, g):
-    if enc.hash_mode == "lattice":
+    if enc.hash_mode in ("lattice", "quad"):
         (x,) = res
         N = x.shape[0]
         L, F = enc.n_levels, enc.F
         g = g.reshape(N, L, F).transpose(1, 0, 2).astype(jnp.float32)
-        grad_table = _lattice_exact_bwd(enc, x, g)
+        grad_table = (_lattice_exact_bwd(enc, x, g)
+                      if enc.hash_mode == "lattice"
+                      else _quad_exact_bwd(enc, x, g))
         return (grad_table, jnp.zeros((N, enc.n_dims), jnp.float32),
                 jnp.zeros((L, N), jnp.float32))
     idx, w = res                                 # (L, N, C)
