@@ -99,6 +99,17 @@ def stage_ab_perf():
          "--steps", "512", "--downscale", "2",
          "--eval-at", "256,512", "--eval-views", "4",
          "--budget-s", "3600", "--out", str(EXP / "ab_r4")], 8000)
+    # ds1 step-TIME pair (no evals — eval-at beyond steps): the march
+    # dominates at ds1 (K=1024 dense march ~0.97 s/step under cone);
+    # spanfit's ~2.3x march-tensor shrink must be priced where it
+    # matters. PSNR neutrality is sample-set-equal by construction
+    # (tests/test_march_span.py) + the ds2 PSNR rungs above.
+    wait_device()
+    run(["scripts/exp_ab.py",
+         "--only", "base,spanfit",
+         "--steps", "256", "--downscale", "1",
+         "--eval-at", "100000", "--eval-views", "1",
+         "--budget-s", "1600", "--out", str(EXP / "ab_r4_ds1t")], 3600)
 
 
 def stage_hybrid():
@@ -183,6 +194,30 @@ def stage_trace():
             600)
 
 
+def stage_evalchunk():
+    # price the eval dispatch overhead: same view, EVAL_CHUNK 4096 vs
+    # 16384 (157 vs 40 dispatches at 800x800 spp 8). Steady per-view
+    # seconds land in each JSON line's render_s_steady; adoption gate
+    # for changing the default eval chunk shape.
+    if not SNAP.exists():
+        log("evalchunk: no snapshot")
+        return
+    out = []
+    for ch in ("4096", "16384"):
+        wait_device()
+        lines = run(["-m", "synerfgine_tpu.cli.main", "eval",
+                     "--scene", "/root/reference/data/nerf/lego",
+                     "--load-snapshot", str(SNAP), "--n-views", "2"],
+                    2400, env={"EVAL_CHUNK": ch})
+        for ln in lines or []:
+            row = json.loads(ln)
+            row["eval_chunk"] = int(ch)
+            out.append(row)
+            log(ln)
+    if out:
+        (EXP / "evalchunk_r4.json").write_text(json.dumps(out, indent=2))
+
+
 def stage_mosaic():
     wait_device()
     run(["scripts/exp_mosaic_gather.py"], 900,
@@ -202,8 +237,8 @@ def stage_bench():
 
 STAGES = {"ab": stage_ab, "abperf": stage_ab_perf, "hybrid": stage_hybrid,
           "fox": stage_fox, "orbit": stage_orbit, "trace": stage_trace,
-          "mosaic": stage_mosaic, "cache": stage_cache,
-          "bench": stage_bench}
+          "evalchunk": stage_evalchunk, "mosaic": stage_mosaic,
+          "cache": stage_cache, "bench": stage_bench}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["ab", "abperf", "hybrid", "fox", "orbit",

@@ -22,7 +22,7 @@ def evaluate_views(
     n_steps: int | None = None,
     write_dir: str | None = None,
     spp: int = 8,
-    chunk: int = 4096,
+    chunk: int | None = None,
 ) -> dict:
     """Render every view of `dataset` and compute PSNR/SSIM vs GT.
 
@@ -33,6 +33,15 @@ def evaluate_views(
 
     results = []
     n = dataset.n_images if n_views is None else min(n_views, dataset.n_images)
+    if chunk is None:
+        # dispatch count is a first-order eval cost through the remote
+        # relay (~0.3 s latency+fetch per chunk on top of compute —
+        # 157 dispatches/view at 800x800/4096); bigger chunks amortize
+        # it. Overridable (EVAL_CHUNK) so the win can be measured on
+        # chip before changing the default shape fleet-wide.
+        import os
+
+        chunk = int(os.environ.get("EVAL_CHUNK", "4096"))
     for i in range(n):
         t0 = time.time()
         out = trainer.render_image(
