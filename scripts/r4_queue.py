@@ -78,12 +78,25 @@ def stage_ab():
     # suspect is the stochastic single-corner hash backward, whose r3
     # exoneration was at ds2 pre-fill/pre-cone. Base = the ladder's own
     # 512 rung (identical config), so only the 3 variants run.
+    env = {}
+    ecj = EXP / "evalchunk_r4.json"
+    if ecj.exists():
+        # adopt the 16384-px eval chunk for the ds1 evals when the
+        # pricing stage showed it faster at unchanged PSNR
+        rows = {r["eval_chunk"]: r for r in json.loads(ecj.read_text())}
+        a, b = rows.get(4096), rows.get(16384)
+        if (a and b and b["render_s_steady"] < 0.9 * a["render_s_steady"]
+                and abs(b["psnr_mean"] - a["psnr_mean"]) < 0.05):
+            env["EVAL_CHUNK"] = "16384"
+            log("ab: adopting EVAL_CHUNK=16384 "
+                f"({b['render_s_steady']}s vs {a['render_s_steady']}s/view)")
     wait_device()
     run(["scripts/exp_ab.py",
          "--only", "exact,quadexact,quad,skipzero,fp32mlp",
          "--steps", "512", "--downscale", "1",
          "--eval-at", "512", "--eval-views", "4",
-         "--budget-s", "8000", "--out", str(EXP / "ab_r4")], 14000)
+         "--budget-s", "8000", "--out", str(EXP / "ab_r4")], 14000,
+        env=env or None)
 
 
 def stage_ab_perf():
