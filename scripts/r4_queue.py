@@ -125,6 +125,52 @@ def stage_ab_perf():
          "--budget-s", "1600", "--out", str(EXP / "ab_r4_ds1t")], 3600)
 
 
+def stage_conefix():
+    # The r4 headline ladder cone-marched lego (0bbfba6) — a deviation
+    # from the reference rule (testbed_nerf.cu:3083-3085: cone 0 for
+    # aabb_scale <= 1, exponential stepping only in larger scenes) that
+    # regressed the 2048 rung (25.36 -> 24.51 dB with fog bloom: ~9x
+    # coarser dt at the object caps the converged model). HEAD reverts
+    # to the per-dataset rule; this stage confirms on chip by resuming
+    # the ladder's final model under fixed fine stepping for +512 steps
+    # and re-evaluating the same 4 held-out views.
+    out = DOCS / "milestone_lego_r4" / "conefix_progress.json"
+    if out.exists():
+        log("conefix: already done")
+        return
+    src = SNAP.parent
+    if not (src / "progress.json").exists():
+        log("conefix: no ladder")
+        return
+    dst = pathlib.Path("/tmp/milestone_r4fix/lego_ds1")
+    dst.mkdir(parents=True, exist_ok=True)
+    prog = json.loads((src / "progress.json").read_text())
+    steps = int(prog["steps"])
+    if not (dst / "progress.json").exists():
+        prog["evals"] = []
+        prog["note"] = ("resume of the cone-marched ladder under the "
+                        "reference cone rule (0 for aabb_scale<=1)")
+        (dst / "progress.json").write_text(json.dumps(prog))
+        (dst / "model.sng").write_bytes((src / "model.sng").read_bytes())
+    wait_device()
+    run(["scripts/milestone.py",
+         "--scene", "/root/reference/data/nerf/lego",
+         "--downscale", "1", "--target-steps", str(steps + 512),
+         "--chunk-steps", "256", "--eval-at", str(steps + 512),
+         "--eval-views", "4", "--budget-s", "2400",
+         "--dir", "/tmp/milestone_r4fix"], 4200)
+    p = dst / "progress.json"
+    if p.exists() and json.loads(p.read_text()).get("evals"):
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(p.read_text())
+        for rd in sorted(dst.glob("renders_*")):
+            f = rd / "render_000.png"
+            if f.exists():
+                (out.parent / f"conefix_{rd.name}_render_000.png"
+                 ).write_bytes(f.read_bytes())
+        log("conefix banked")
+
+
 def stage_hybrid():
     import os
 
@@ -248,7 +294,7 @@ def stage_bench():
     run(["bench.py"], 3000, out_file=EXP / "bench_preview_r4.json")
 
 
-STAGES = {"ab": stage_ab, "abperf": stage_ab_perf, "hybrid": stage_hybrid,
+STAGES = {"conefix": stage_conefix, "ab": stage_ab, "abperf": stage_ab_perf, "hybrid": stage_hybrid,
           "fox": stage_fox, "orbit": stage_orbit, "trace": stage_trace,
           "evalchunk": stage_evalchunk, "mosaic": stage_mosaic,
           "cache": stage_cache, "bench": stage_bench}

@@ -180,13 +180,20 @@ class NerfTrainer:
         self.random_bg = random_bg
         self.loss_fn = get_loss(loss_name or network.config.loss)
         self.aabb = scene_aabb(dataset.aabb_scale)
-        # the reference cone-marches at 1/256 for EVERY scene
-        # (cone_angle_constant default, testbed.h:861; calc_cone_angle
-        # returns the constant unconditionally, nerf_device.cuh:370).
-        # Round 1-3 disabled it for aabb_scale=1, taking uniform fine
-        # steps everywhere: ~1.5-2x the reference's samples per ray at
-        # lego-like camera distances for the same rays and targets.
-        self.cone_angle = 1.0 / 256.0
+        # Reference cone semantics (testbed_nerf.cu:3083-3085): FIXED
+        # fine stepping in unit-cube scenes ("like original NeRF"),
+        # exponential 1/256 stepping only when aabb_scale > 1. Round 4
+        # briefly cone-marched every scene (testbed.h:861's default is
+        # 1/256, and calc_cone_angle returns the constant) — but
+        # load_nerf overwrites the constant per dataset, and at lego
+        # camera distances cone 1/256 means ~9x coarser dt at the
+        # object (t/256 ~ 0.016 vs sqrt(3)/1024): +0.25 dB at step 512
+        # (blur-limited regime) then a -0.85 dB FOG REGRESSION by step
+        # 2048 as the model converges to the coarse integrator's
+        # bloomed optimum (docs/milestone_lego_r4, 1024: 25.36 ->
+        # 2048: 24.51). Reverted to the reference's per-dataset rule.
+        self.cone_angle = (0.0 if dataset.aabb_scale <= 1
+                           else 1.0 / 256.0)
         self.opt = NGPOptimizer(network.config.optimizer,
                                 skip_zero_grad=adam_skip_zero_grad)
         self.grid = OccupancyGrid(dataset.aabb_scale)
