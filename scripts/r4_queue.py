@@ -92,7 +92,7 @@ def stage_ab():
                 f"({b['render_s_steady']}s vs {a['render_s_steady']}s/view)")
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "exact,quadexact,quad,skipzero,fp32mlp",
+         "--only", "quadexact,exact,skipzero,quad,fp32mlp",
          "--steps", "512", "--downscale", "1",
          "--eval-at", "512", "--eval-views", "4",
          "--budget-s", "8000", "--out", str(EXP / "ab_r4")], 14000,
@@ -108,7 +108,7 @@ def stage_ab_perf():
     # quality read runs in the ds1 set).
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "base,marchskip,spanfit",
+         "--only", "base,spanfit",
          "--steps", "512", "--downscale", "2",
          "--eval-at", "256,512", "--eval-views", "4",
          "--budget-s", "3600", "--out", str(EXP / "ab_r4")], 8000)
