@@ -108,18 +108,19 @@ def stage_ab_perf():
     # quality read runs in the ds1 set).
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "base,spanfit",
+         "--only", "base,marchskip,spanfit",
          "--steps", "512", "--downscale", "2",
          "--eval-at", "256,512", "--eval-views", "4",
          "--budget-s", "3600", "--out", str(EXP / "ab_r4")], 8000)
-    # ds1 step-TIME pair (no evals — eval-at beyond steps): the march
-    # dominates at ds1 (K=1024 dense march ~0.97 s/step under cone);
-    # spanfit's ~2.3x march-tensor shrink must be priced where it
-    # matters. PSNR neutrality is sample-set-equal by construction
-    # (tests/test_march_span.py) + the ds2 PSNR rungs above.
+    # ds1 step-TIME pair (no evals — eval-at beyond steps). Under the
+    # reference cone rule (0 for aabb<=1) spanfit's stepping-space
+    # bound exceeds K=1024 for lego's equatorial cameras (no-op), so
+    # the march-shortener that still bites is --march-skip 768 (the
+    # skip-grid pre-pass removes the leading empty space; PSNR
+    # neutrality sanity-checked by the ds2 rungs above).
     wait_device()
     run(["scripts/exp_ab.py",
-         "--only", "base,spanfit",
+         "--only", "base,marchskip",
          "--steps", "256", "--downscale", "1",
          "--eval-at", "100000", "--eval-views", "1",
          "--budget-s", "1600", "--out", str(EXP / "ab_r4_ds1t")], 3600)
