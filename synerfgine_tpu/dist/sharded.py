@@ -27,7 +27,7 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..train.nerf_trainer import NerfTrainer, NerfTrainState
 from .mesh import data_axis
@@ -62,7 +62,7 @@ class ShardedNerfTrainer:
         def smap(fn, n_in, n_out):
             return shard_map(fn, mesh=mesh, in_specs=(rep,) * n_in,
                              out_specs=(rep,) * n_out if n_out > 1 else rep,
-                             check_rep=False)
+                             check_vma=False)
 
         def sharded_step(state, n_rays, data, n_active=None):
             body = smap(

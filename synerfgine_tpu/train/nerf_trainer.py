@@ -1209,7 +1209,7 @@ class NerfTrainer:
             if use_grid else None)
         n_px = uv_all.shape[0]
         if mesh is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             n_dev = mesh.devices.size
@@ -1243,7 +1243,7 @@ class NerfTrainer:
                 lambda: jax.jit(shard_map(
                     dev_body, mesh=mesh, in_specs=spec_in,
                     out_specs=(P("data"), P("data"), P("data")),
-                    check_rep=False)))
+                    check_vma=False)))
             if gbits is None:
                 gbits_arg = jnp.zeros((), jnp.float32)  # placeholder leaf
                 skip_arg = jnp.zeros((), jnp.float32)
