@@ -83,6 +83,8 @@ def main():
     # relay's sustained-load budget
     sweep = os.environ.get("HYBRID_SWEEP", "")
     configs = ([(s, s) for s in (1, 2, 4, 8)] if sweep else [(None, None)])
+    reps = int(os.environ.get("HYBRID_REPS", "8"))
+    out_path = os.environ.get("HYBRID_OUT", "")
 
     from synerfgine_tpu.io.image import write_image
 
@@ -103,17 +105,21 @@ def main():
         np.asarray(out["rgb"])
         log(f"[s{ss}n{ns}] first frame (compile) {time.time()-t0:.1f}s")
 
-        n = 8
         t0 = time.time()
-        for _ in range(n):
+        for _ in range(reps):
             out = eng.frame()
             np.asarray(out["rgb"])   # host fetch paces the relay
-        dt = (time.time() - t0) / n * 1000
-        print(json.dumps({
+        dt = (time.time() - t0) / reps * 1000
+        rec = {
             "metric": f"hybrid_frame_ms_{H}p", "value": round(dt, 1),
             "unit": "ms", "syn_shadow_samples": ss, "nerf_shadow_samples": ns,
+            "reps": reps,
             "timings": {k: round(v * 1000, 1) for k, v
-                        in eng.timings.items()}}), flush=True)
+                        in eng.timings.items()}}
+        print(json.dumps(rec), flush=True)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
     rgb = np.clip(np.asarray(out["rgb"]), 0, 1)
     write_image(str(art / f"hybrid_frame_{H}p.png"), rgb)
     log(f"frame artifact: docs/hybrid_frame_{H}p.png")

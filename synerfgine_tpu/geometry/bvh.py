@@ -23,10 +23,15 @@ LEAF_SIZE = 4
 STACK_DEPTH = 48
 # Above this the packed world carries BVH node arrays and tracing
 # traverses them; below it the tracer uses the dense (rays x tris)
-# brute force. 512 (was 4096): at 720p+ with distribution-RT shadow
-# samples the (R*S, T) brute-force temps OOM'd the chip for ~1k-tri
-# meshes, and BVH traversal keeps memory flat.
-BRUTE_FORCE_MAX_TRIS = 512
+# brute force. History: 4096 -> 512 in round 3 when the UNROLLED
+# distribution-RT loops kept many (R*S, T) temps alive at once and
+# OOM'd the chip; back to 4096 in round 5 now that the tracer scans its
+# sample loops (raytracer.py) so exactly one (R, T) intersection tensor
+# is live at a time. Measured on the v5e chip (r5_hybrid_probe):
+# brute-force full-settings trace is ~5x faster than the vmapped
+# while-loop BVH traversal for the 995-tri armadillo (0.26 vs 1.3
+# ms/ray) — serial per-ray stack loops are TPU-hostile.
+BRUTE_FORCE_MAX_TRIS = 4096
 
 
 def bvh_node_depth(left: np.ndarray, right: np.ndarray) -> int:

@@ -5,6 +5,14 @@ Capability match for `Triangle::ray_intersect`/`normal`
 form is fully batched: (R rays) x (T triangles) dense tests on the VPU —
 for the scene sizes the reference ships (<= ~1k faces per OBJ) this
 outruns any divergent traversal; BVH (bvh.py) covers large meshes.
+
+Layout: all intermediates are component-wise (R, T) tensors (structure
+of arrays), never (R, T, 3). A minor-most dimension of 3 occupies 3 of
+the VPU's 128 lanes per tile — the round-4 AoS form measured ~28 ms per
+8192x995 closest-hit on the v5e chip for an op that is compute-bound at
+well under 1 ms. With T minor, every (R, T) elementwise op fills whole
+(8, 128) tiles and XLA fuses the arithmetic chain into the final
+min/argmin reductions.
 """
 from __future__ import annotations
 
@@ -22,6 +30,41 @@ def triangle_normals(tris: jnp.ndarray) -> jnp.ndarray:
     return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
 
 
+def _soa_parts(o, d, tris):
+    """Split rays into (R, 1) and triangles into (1, T) component planes."""
+    ox, oy, oz = (o[:, i:i + 1] for i in range(3))
+    dx, dy, dz = (d[:, i:i + 1] for i in range(3))
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - v0
+    e2 = tris[:, 2] - v0
+    v0x, v0y, v0z = (v0[None, :, i] for i in range(3))
+    e1x, e1y, e1z = (e1[None, :, i] for i in range(3))
+    e2x, e2y, e2z = (e2[None, :, i] for i in range(3))
+    return ((ox, oy, oz), (dx, dy, dz), (v0x, v0y, v0z),
+            (e1x, e1y, e1z), (e2x, e2y, e2z))
+
+
+def _moller_trumbore(o, d, tris):
+    """Shared SoA core: returns (t, u, v, det) as (R, T) tensors."""
+    (ox, oy, oz), (dx, dy, dz), (v0x, v0y, v0z), \
+        (e1x, e1y, e1z), (e2x, e2y, e2z) = _soa_parts(o, d, tris)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = pvx * e1x + pvy * e1y + pvz * e1z
+    inv_det = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / det)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (qvx * dx + qvy * dy + qvz * dz) * inv_det
+    t = (qvx * e2x + qvy * e2y + qvz * e2z) * inv_det
+    return t, u, v, det
+
+
 def ray_triangles_intersect(
     o: jnp.ndarray,          # (R, 3)
     d: jnp.ndarray,          # (R, 3)
@@ -30,20 +73,7 @@ def ray_triangles_intersect(
 ):
     """Closest-hit over all triangles. Returns (t (R,), tri_idx (R,) int32
     [-1 = miss], u (R,), v (R,)). Distances in units of |d|."""
-    v0 = tris[:, 0]
-    e1 = tris[:, 1] - tris[:, 0]  # (T, 3)
-    e2 = tris[:, 2] - tris[:, 0]
-
-    # broadcast (R, 1, 3) x (1, T, 3)
-    pvec = jnp.cross(d[:, None, :], e2[None, :, :])           # (R, T, 3)
-    det = jnp.sum(pvec * e1[None, :, :], axis=-1)             # (R, T)
-    inv_det = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / det)
-    tvec = o[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(qvec * d[:, None, :], axis=-1) * inv_det
-    t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
-
+    t, u, v, det = _moller_trumbore(o, d, tris)
     hit = (
         (jnp.abs(det) >= _EPS)
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
@@ -51,15 +81,15 @@ def ray_triangles_intersect(
     )
     t_masked = jnp.where(hit, t, jnp.inf)
     idx = jnp.argmin(t_masked, axis=-1)
-    best_t = jnp.take_along_axis(t_masked, idx[:, None], axis=-1)[:, 0]
+    best_t = jnp.min(t_masked, axis=-1)
     best_u = jnp.take_along_axis(u, idx[:, None], axis=-1)[:, 0]
     best_v = jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
     missed = ~jnp.isfinite(best_t)
     return (
         jnp.where(missed, jnp.inf, best_t),
         jnp.where(missed, -1, idx).astype(jnp.int32),
-        best_u,
-        best_v,
+        jnp.where(missed, 0.0, best_u),
+        jnp.where(missed, 0.0, best_v),
     )
 
 
@@ -69,17 +99,7 @@ def ray_triangles_any_hit(
 ) -> jnp.ndarray:
     """Occlusion query (shadow rays): True if ANY triangle is hit in
     (t_min, t_max). Cheaper reduction than closest-hit."""
-    v0 = tris[:, 0]
-    e1 = tris[:, 1] - tris[:, 0]
-    e2 = tris[:, 2] - tris[:, 0]
-    pvec = jnp.cross(d[:, None, :], e2[None, :, :])
-    det = jnp.sum(pvec * e1[None, :, :], axis=-1)
-    inv_det = jnp.where(jnp.abs(det) < _EPS, 0.0, 1.0 / det)
-    tvec = o[:, None, :] - v0[None, :, :]
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.sum(qvec * d[:, None, :], axis=-1) * inv_det
-    t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
+    t, u, v, det = _moller_trumbore(o, d, tris)
     hit = (
         (jnp.abs(det) >= _EPS)
         & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)

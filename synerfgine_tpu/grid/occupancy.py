@@ -325,6 +325,36 @@ class OccupancyGrid:
         cell = cascade_cell_of(pos, mip)
         return bitfield[mip, cell[..., 0], cell[..., 1], cell[..., 2]]
 
+    def occupied_at_xyz(self, bitfield: jnp.ndarray, px: jnp.ndarray,
+                        py: jnp.ndarray, pz: jnp.ndarray) -> jnp.ndarray:
+        """Component-planes form of occupied_at (mip derived from the
+        position as in mip_from_pos): all index math runs on (..., )
+        per-component tensors — no (..., 3) minor dimension — and the
+        probe is ONE flat gather. The hybrid tracer's shadow ladder
+        (64 probes x R rays per query) pays ~10x less for index
+        arithmetic this way (r5_hybrid_probe qladder)."""
+        G = self.G
+        if self.max_cascade == 0:
+            mip = None
+            sx, sy, sz = px, py, pz
+        else:
+            maxval = jnp.maximum(jnp.maximum(jnp.abs(px - 0.5),
+                                             jnp.abs(py - 0.5)),
+                                 jnp.abs(pz - 0.5))
+            _, e = jnp.frexp(jnp.maximum(maxval, 1e-12))
+            mip = jnp.clip(e + 1, 0, self.max_cascade)
+            scale = jnp.exp2(-mip.astype(jnp.float32))
+            sx = (px - 0.5) * scale + 0.5
+            sy = (py - 0.5) * scale + 0.5
+            sz = (pz - 0.5) * scale + 0.5
+        cx = jnp.clip((sx * G).astype(jnp.int32), 0, G - 1)
+        cy = jnp.clip((sy * G).astype(jnp.int32), 0, G - 1)
+        cz = jnp.clip((sz * G).astype(jnp.int32), 0, G - 1)
+        idx = (cx * G + cy) * G + cz
+        if mip is not None:
+            idx = idx + mip * (G * G * G)
+        return jnp.take(bitfield.reshape(-1), idx)
+
     def density_at(self, density: jnp.ndarray, pos: jnp.ndarray,
                    mip: jnp.ndarray) -> jnp.ndarray:
         cell = cascade_cell_of(pos, mip)

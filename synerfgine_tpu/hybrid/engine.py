@@ -89,6 +89,9 @@ class Engine:
         self._skip_tbl = jax.jit(self.grid.make_skip_grid)
         self._nerf_chunk = jax.jit(self._render_nerf_chunk,
                                    static_argnums=(8,))
+        self._syn_chunk = jax.jit(self._render_syn_chunk,
+                                  static_argnums=(5,))
+        self._shadow_chunk = jax.jit(self._shadow_map_chunk)
         self.timings: dict[str, float] = {}
 
         # dynamic resolution (testbed.cu:2909-2971): scale the NeRF pass
@@ -119,13 +122,21 @@ class Engine:
             return np.asarray(m, np.float32), zoom
         view = sc.default_view if sc.default_view is not None else np.array([0.0, 0.0, -1.0])
         at = sc.default_at if sc.default_at is not None else np.array([0.5, 0.5, 0.5])
-        eye = at - view / np.linalg.norm(view) * 1.0  # view dir convention
+        # reference semantics: scene "view" is the view DIRECTION and
+        # "zoom" is the eye distance (a dolly, not a focal scale) —
+        # eye = at - dir * zoom (set_view_dir/set_look_at/set_scale,
+        # testbed.cu:405-425; the round-4 form put the eye at distance 1
+        # and scaled the focal instead, framing the armadillo out of
+        # every shipped scene's default camera)
+        eye = at - view / np.linalg.norm(view) * sc.default_zoom
         return cam.look_at(eye, at), sc.default_zoom
 
     def _focal(self, res, zoom):
-        # ~50 deg horizontal fov at zoom 1 (testbed default fov)
-        base = 0.5 * res[0] / np.tan(np.radians(50.0) / 2.0)
-        return np.array([base * zoom, base * zoom], np.float32)
+        # fixed fov 50.625 deg on the Y axis (set_fov(50.625f),
+        # testbed.cu:480; m_fov_axis = 1, testbed.cu:471); zoom dollies
+        # the camera (current_camera) and must not change the focal
+        base = 0.5 * res[1] / np.tan(np.radians(50.625) / 2.0)
+        return np.array([base, base], np.float32)
 
     # ----------------------------------------------------------- NeRF pass
     def _render_nerf_chunk(self, params, paired_tbl, bitfield, skip_tbl,
@@ -189,9 +200,23 @@ class Engine:
         }
 
     # ------------------------------------------------------ synthetic pass
-    def render_synthetic(self, cm, zoom, chunk: int = 1 << 16):
+    def _render_syn_chunk(self, uv, cm, focal, world, key, res, bitfield):
+        """One jitted program per chunk: ray gen + path trace + debug-view
+        select (keeping ray gen inside the jit avoids per-chunk eager
+        dispatches through the device relay)."""
+        rays = cam.uv_to_ray(uv, cm, res, focal)
+        d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
+        out = self.tracer._trace_impl(rays.o, d_norm, world, bitfield, key)
+        view = self.tracer.buffer_view(out, self.scene.settings.syn_filter)
+        return view, out.depth, out.hit
+
+    def render_synthetic(self, cm, zoom, chunk: int = 1 << 13):
         """Path-trace the synthetic layer, chunked over pixels so large
-        frames bound the (rays x triangles) intersection tensors."""
+        frames bound the (rays x triangles) intersection tensors.
+        Chunk 8192: the full-settings trace program verified on the v5e
+        chip up to 32768 rays and crashed the TPU worker at 65536
+        (r5_hybrid_probe chunk64k); 8192 keeps the dense (R, T)
+        brute-force temps ~100 MB with headroom."""
         w, h = self.syn_res
         uv = np.stack(np.meshgrid(
             (np.arange(w, dtype=np.float32) + 0.5) / w,
@@ -202,21 +227,45 @@ class Engine:
         uv_p = np.concatenate([uv, np.zeros((pad, 2), np.float32)])
         views, depths, hits = [], [], []
         for i in range(0, len(uv_p), chunk):
-            rays = cam.uv_to_ray(jnp.asarray(uv_p[i:i + chunk]),
-                                 jnp.asarray(cm), (w, h), jnp.asarray(focal))
-            d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
             self.key, k = jax.random.split(self.key)
-            res = self.tracer.trace(Ray(rays.o, d_norm), self.world,
-                                    self.grid_state.bitfield, k)
-            views.append(self.tracer.buffer_view(
-                res, self.scene.settings.syn_filter))
-            depths.append(res.depth)
-            hits.append(res.hit)
+            view, depth, hit = self._syn_chunk(
+                jnp.asarray(uv_p[i:i + chunk]), jnp.asarray(cm),
+                jnp.asarray(focal), self.world, k, (w, h),
+                self.grid_state.bitfield)
+            views.append(view)
+            depths.append(depth)
+            hits.append(hit)
         return {
             "rgb": jnp.concatenate(views)[:n].reshape(h, w, 3),
             "depth": jnp.concatenate(depths)[:n].reshape(h, w),
             "hit": jnp.concatenate(hits)[:n].reshape(h, w),
         }
+
+    def _shadow_map_chunk(self, pos, nrm, world, bitfield, key):
+        s = self.scene.settings
+        return shadow_map(
+            self.tracer, pos, nrm, world, bitfield, key,
+            nerf_shadow_intensity=s.nerf_shadow_brightness,
+            nerf_on_nerf_threshold=s.nerf_on_nerf_shadow_threshold)
+
+    def nerf_shadow_map(self, pos, normals, chunk: int = 1 << 14):
+        """Mesh-on-NeRF shadow factors, jitted and chunked (a 720p NeRF
+        pass is ~1M points; one dispatch held (N, n_shadow_steps, 3)
+        ladder temps that crowded the chip)."""
+        p = pos.reshape(-1, 3)
+        nv = normals.reshape(-1, 3)
+        n = p.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            p = jnp.concatenate([p, jnp.zeros((pad, 3))])
+            nv = jnp.concatenate([nv, jnp.ones((pad, 3))])
+        outs = []
+        for i in range(0, n + pad, chunk):
+            self.key, k = jax.random.split(self.key)
+            outs.append(self._shadow_chunk(
+                p[i:i + chunk], nv[i:i + chunk], self.world,
+                self.grid_state.bitfield, k))
+        return jnp.concatenate(outs)[:n].reshape(pos.shape[:-1])
 
     # ------------------------------------------------------------ overlay
     def overlay(self, syn, nerf):
@@ -291,14 +340,7 @@ class Engine:
         if s.show_nerf and s.shadow_on_nerf and self.scene.objects:
             pos = positions_from_depth(nerf["o"], nerf["d"], nerf["depth"])
             normals = normals_from_positions(pos)
-            self.key, k = jax.random.split(self.key)
-            sh_flat = shadow_map(
-                self.tracer, pos.reshape(-1, 3), normals.reshape(-1, 3),
-                self.world, self.grid_state.bitfield, k,
-                nerf_shadow_intensity=s.nerf_shadow_brightness,
-                nerf_on_nerf_threshold=s.nerf_on_nerf_shadow_threshold,
-            )
-            sh = sh_flat.reshape(nerf["depth"].shape)
+            sh = self.nerf_shadow_map(pos, normals)
             sh = jnp.where(nerf["depth"] < MAX_DEPTH * 0.5, sh, 1.0)
             sh = box_filter(sh, s.smooth_kernel_size)
             sh = jnp.power(sh, s.nerf_shadow_brightness)

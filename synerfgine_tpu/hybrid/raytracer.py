@@ -18,8 +18,16 @@ Capability match for `sng::RayTracer` (src/synerfgine/raytracer.cu):
 - temporal 50/50 accumulation (raytracer.cu:212-215) done by the Engine.
 
 The whole tracer is one jitted dense tensor program per pixel chunk: the
-reference's per-thread loops become unrolled static loops over small
-sample counts with (R, T)-batched intersection tests.
+reference's per-thread loops become `lax.scan`s over the sample counts
+with (R, T)-batched intersection tests. Scanning (rather than unrolling)
+the light-sample and shadow-sample loops keeps the compiled program a
+constant size regardless of the scene's sample settings — the armadillo
+scene's light_samples=8 x shadow_samples=8 x bounces=2 x 3 lights would
+otherwise unroll ~384 BVH traversals + occupancy ladders into one XLA
+program, which RESOURCE_EXHAUSTed the TPU backend at compile time in
+round 4 (docs/experiments/hybrid_oom_r4.md). Only the bounce loop stays
+unrolled (path_trace_depth is 2 in every shipped scene, and bounce 0
+carries extra G-buffer accumulation).
 """
 from __future__ import annotations
 
@@ -29,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import BoundingBox, Ray
-from ..grid.occupancy import OccupancyGrid, mip_from_pos
+from ..grid.occupancy import OccupancyGrid
 from ..march.dda import from_stepping_space, to_stepping_space
 from ..geometry.triangle import ray_triangles_intersect, triangle_normals
 
@@ -145,10 +153,16 @@ class RayTracer:
         frac = (jnp.arange(self.n_shadow_steps) + 0.5) / self.n_shadow_steps
         n = n_max[:, None] * frac[None, :]
         t = from_stepping_space(n, self.cone_angle)          # (R, K)
-        pos = o[:, None, :] + d[:, None, :] * t[..., None]
-        mip = mip_from_pos(pos, self.grid.max_cascade)
-        occ = self.grid.occupied_at(bitfield, pos, mip)
-        occ = occ & self.aabb.contains(pos)
+        # component planes (R, K) — no (R, K, 3) minor-dim-3 tensors;
+        # see occupied_at_xyz for why this matters on the VPU
+        px = o[:, 0:1] + d[:, 0:1] * t
+        py = o[:, 1:2] + d[:, 1:2] * t
+        pz = o[:, 2:3] + d[:, 2:3] * t
+        occ = self.grid.occupied_at_xyz(bitfield, px, py, pz)
+        lo, hi = self.aabb.lo, self.aabb.hi
+        inside = ((px >= lo[0]) & (px <= hi[0]) & (py >= lo[1])
+                  & (py <= hi[1]) & (pz >= lo[2]) & (pz <= hi[2]))
+        occ = occ & inside
         t_hit = jnp.min(jnp.where(occ, t, MAX_DEPTH), axis=1)
         return jnp.minimum(t_hit, full_d)
 
@@ -159,68 +173,76 @@ class RayTracer:
         return diff + spec
 
     def _shade(self, wi, hit, pos, normal, mat_id, world, bitfield, key):
-        """Direct lighting at hit points; returns (color, nerf_shadow_min)."""
+        """Direct lighting at hit points; returns (color, nerf_shadow_min).
+
+        The shadow-sample loop is a `lax.scan` (one compiled body reused
+        `shadow_samples` times); lights stay a Python loop — the shipped
+        scenes carry 2-3 and each light type needs its own shadow rule."""
         kd = world["mat_kd"][mat_id]
         ks = world["mat_ks"][mat_id]
         ka = world["mat_ka"][mat_id]
         n_exp = world["mat_n"][mat_id]
         R_count = pos.shape[0]
-        color = jnp.zeros((R_count, 3))
-        nerf_shadow_min = jnp.full(R_count, MAX_DEPTH)
-
         n_lights = world["light_pos"].shape[0]
-        for l in range(n_lights):
-            lpos0 = world["light_pos"][l]
-            lsize = world["light_size"][l]
-            lint = jnp.full(R_count, world["light_intensity"][l])
-            is_point = world["light_type"][l] == 0
-            for s in range(self.shadow_samples):
-                key, k1 = jax.random.split(key)
-                offset = jax.random.uniform(k1, (R_count, 3)) * lsize
+        V = -wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
+        sample_keys = jax.random.split(
+            key, self.shadow_samples * n_lights
+        ).reshape(self.shadow_samples, n_lights, -1)
+
+        def one_shadow_sample(carry, keys_l):
+            color, nerf_shadow_min = carry
+            for l in range(n_lights):
+                lpos0 = world["light_pos"][l]
+                lsize = world["light_size"][l]
+                lint = jnp.full(R_count, world["light_intensity"][l])
+                is_point = world["light_type"][l] == 0
+                offset = jax.random.uniform(keys_l[l], (R_count, 3)) * lsize
                 lpos = lpos0 + offset
                 Lvec = lpos - pos
                 dist = jnp.linalg.norm(Lvec, axis=-1)
                 L = Lvec / jnp.maximum(dist[:, None], 1e-12)
                 syn_sh = self._occlusion_depth_world(pos, L, world)
                 nerf_sh = self.nerf_occlusion_depth(pos, L, bitfield, dist + 1.0)
-                nerf_shadow_min = jnp.minimum(nerf_shadow_min, nerf_sh / jnp.maximum(dist, 1e-12))
+                nerf_shadow_min = jnp.minimum(
+                    nerf_shadow_min, nerf_sh / jnp.maximum(dist, 1e-12))
                 shadow = jnp.minimum(jnp.minimum(nerf_sh, syn_sh), dist)
-                mask = smoothstep(shadow / jnp.maximum(dist, 1e-12)) ** self.shadow_factor
+                mask = smoothstep(
+                    shadow / jnp.maximum(dist, 1e-12)) ** self.shadow_factor
                 if not self.show_nerf_shadow:
                     mask = jnp.ones_like(mask)
                 Rv = reflect(L, normal)
-                V = -wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
                 lc = self._local_color(L, normal, Rv, V, kd, ks, n_exp, lint)
                 # directional lights skip shadowing (raytracer.cu:39-50)
                 contrib = jnp.where(is_point, lc * mask[:, None], lc)
                 color = color + contrib
+            return (color, nerf_shadow_min), None
+
+        (color, nerf_shadow_min), _ = jax.lax.scan(
+            one_shadow_sample,
+            (jnp.zeros((R_count, 3)), jnp.full(R_count, MAX_DEPTH)),
+            sample_keys)
         color = color / self.shadow_samples + ka
-        return jnp.where(hit[:, None], color, 0.0), nerf_shadow_min, key
+        return jnp.where(hit[:, None], color, 0.0), nerf_shadow_min
 
     def _scatter(self, pos, normal, mat_id, world, key):
         spec_angle = world["mat_spec_angle"][mat_id]
         rg = world["mat_rg"][mat_id]
-        key, k1, k2 = jax.random.split(key, 3)
+        k1, k2 = jax.random.split(key)
         longi = jax.random.uniform(k1, pos.shape[:1]) * spec_angle
         latid = jax.random.uniform(k2, pos.shape[:1]) * 2.0 * jnp.pi
         new_dir = cone_random(normal, longi, latid)
         pdf = 1.0 / jnp.maximum(1.0, spec_angle * 2.0)
-        return Ray(pos, new_dir), pdf, rg, key
+        return Ray(pos, new_dir), pdf, rg
 
     # --------------------------------------------------------------- trace
     def _trace_impl(self, o, d, world, bitfield, key):
         R = o.shape[0]
-        shade = jnp.zeros((R, 3))
-        normal_acc = jnp.zeros((R, 3))
-        next_pos_acc = jnp.zeros((R, 3))
-        next_dir_acc = jnp.zeros((R, 3))
-        src_dir_acc = jnp.zeros((R, 3))
-        nerf_shadow = jnp.full(R, 1.0)
-        first_hit = jnp.zeros(R, bool)
-        first_depth = jnp.full(R, MAX_DEPTH)
+        spp_keys = jax.random.split(key, self.samples)
 
-        for spp in range(self.samples):
-            key, k1, k2 = jax.random.split(key, 3)
+        def one_light_sample(carry, k_spp):
+            (shade, normal_acc, next_pos_acc, next_dir_acc, src_dir_acc,
+             nerf_shadow, first_hit, first_depth) = carry
+            k1, k2, kb = jax.random.split(k_spp, 3)
             longi = jax.random.uniform(k1, (R,)) * self.lens_size
             latid = jax.random.uniform(k2, (R,)) * 2.0 * jnp.pi
             ray_o, ray_d = o, cone_random(d, longi, latid)
@@ -229,25 +251,39 @@ class RayTracer:
             alive = jnp.ones(R, bool)
             shade_s = jnp.zeros((R, 3))
             for bounce in range(self.bounces):
-                hit, t, pos, normal, mat_id = self._closest_hit(ray_o, ray_d, world)
+                kb, ksh, ksc = jax.random.split(kb, 3)
+                hit, t, pos, normal, mat_id = self._closest_hit(
+                    ray_o, ray_d, world)
                 t = t + self.depth_offset
                 if bounce == 0:
                     normal_acc = normal_acc + jnp.where(hit[:, None], normal, 0.0)
                     next_pos_acc = next_pos_acc + pos
                     src_dir_acc = src_dir_acc + ray_d
                     first_hit = first_hit | hit
-                    first_depth = jnp.minimum(first_depth, jnp.where(hit, t, MAX_DEPTH))
+                    first_depth = jnp.minimum(
+                        first_depth, jnp.where(hit, t, MAX_DEPTH))
                 alive = alive & hit
-                color, nsh, key = self._shade(
-                    ray_d, alive, pos, normal, mat_id, world, bitfield, key)
-                nerf_shadow = jnp.minimum(nerf_shadow, jnp.where(alive, nsh, 1.0))
+                color, nsh = self._shade(
+                    ray_d, alive, pos, normal, mat_id, world, bitfield, ksh)
+                nerf_shadow = jnp.minimum(
+                    nerf_shadow, jnp.where(alive, nsh, 1.0))
                 shade_s = shade_s + color * (pdf * atten)[:, None]
-                new_ray, new_pdf, rg, key = self._scatter(pos, normal, mat_id, world, key)
+                new_ray, new_pdf, rg = self._scatter(
+                    pos, normal, mat_id, world, ksc)
                 if bounce == 0:
                     next_dir_acc = next_dir_acc + new_ray.d
                 ray_o, ray_d = new_ray.o, new_ray.d
                 pdf, atten = new_pdf, atten * rg
             shade = shade + shade_s
+            return (shade, normal_acc, next_pos_acc, next_dir_acc,
+                    src_dir_acc, nerf_shadow, first_hit, first_depth), None
+
+        carry0 = (jnp.zeros((R, 3)), jnp.zeros((R, 3)), jnp.zeros((R, 3)),
+                  jnp.zeros((R, 3)), jnp.zeros((R, 3)), jnp.full(R, 1.0),
+                  jnp.zeros(R, bool), jnp.full(R, MAX_DEPTH))
+        (shade, normal_acc, next_pos_acc, next_dir_acc, src_dir_acc,
+         nerf_shadow, first_hit, first_depth), _ = jax.lax.scan(
+            one_light_sample, carry0, spp_keys)
         w = float(self.samples)
         shade = shade / w
         normal_acc = normal_acc / w

@@ -610,6 +610,11 @@ class HashEncoding:
 #
 # The scatter itself is chunked so every destination block is <= 2^18 rows
 # (see HashEncoding.grad_scatter_chunks).
+#
+# SCATTER_ROW_CHUNK is the shared destination-row cap for the exact
+# backward's chunked scatters (lattice + quad); module-level so tests can
+# shrink it to exercise the chunked branch at toy table sizes.
+SCATTER_ROW_CHUNK = 1 << 18
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -741,7 +746,7 @@ def _lattice_exact_bwd(enc: HashEncoding, x, g):
         # scatter-add is ~27 ns/update while the destination stays
         # <= 2^18 ROWS and ~99 ns above (measured, PERF.md round 3 —
         # the cutoff is row count, not bytes); chunk big levels
-        RMAX = 1 << 18
+        RMAX = SCATTER_ROW_CHUNK
         if size <= RMAX:
             buf = jnp.zeros((size, C * F), jnp.float32).at[row].add(wg)
         else:
@@ -779,7 +784,7 @@ def _quad_exact_bwd(enc: HashEncoding, x, g):
     so backward clamp semantics match the forward exactly."""
     L, F = enc.n_levels, enc.F
     N = x.shape[0]
-    RMAX = 1 << 18
+    RMAX = SCATTER_ROW_CHUNK
     parts = []
     for l, (off, size) in enumerate(zip(enc.level_offsets,
                                         enc.level_sizes)):

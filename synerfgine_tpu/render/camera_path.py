@@ -111,7 +111,7 @@ class CameraPath:
 
 @dataclasses.dataclass
 class SngKeyframe:
-    view: np.ndarray   # eye position
+    view: np.ndarray   # view direction (eye = at - normalize(view)*zoom)
     at: np.ndarray     # look-at target
     zoom: float = 1.0
 
@@ -136,19 +136,26 @@ class SngCamPath:
         return self.end_on_loop and self.frame_idx >= self.n_frames
 
     def eval_frame(self, frame: int):
-        """Returns (camera_matrix (3,4), zoom) for a frame index."""
+        """Returns (camera_matrix (3,4), zoom) for a frame index.
+
+        Keyframe `view` is a view DIRECTION and `zoom` the eye distance:
+        the reference interpolates view/at/zoom linearly then applies
+        set_view_dir + set_look_at + set_scale (cam_path.cuh:30-39),
+        which places the eye at `at - normalize(view) * zoom`."""
         n = len(self.keyframes)
         if n == 1:
             k = self.keyframes[0]
-            return look_at(k.view, k.at), k.zoom
-        u = (frame % self.n_frames) / self.n_frames * n
-        i = int(np.floor(u)) % n
-        t = u - np.floor(u)
-        a, b = self.keyframes[i], self.keyframes[(i + 1) % n]
-        view = (1 - t) * a.view + t * b.view
-        at = (1 - t) * a.at + t * b.at
-        zoom = (1 - t) * a.zoom + t * b.zoom
-        return look_at(view, at), zoom
+            view, at, zoom = k.view, k.at, k.zoom
+        else:
+            u = (frame % self.n_frames) / self.n_frames * n
+            i = int(np.floor(u)) % n
+            t = u - np.floor(u)
+            a, b = self.keyframes[i], self.keyframes[(i + 1) % n]
+            view = (1 - t) * a.view + t * b.view
+            at = (1 - t) * a.at + t * b.at
+            zoom = (1 - t) * a.zoom + t * b.zoom
+        eye = at - view / max(np.linalg.norm(view), 1e-12) * zoom
+        return look_at(eye, at), zoom
 
     def next_frame(self):
         m = self.eval_frame(self.frame_idx)

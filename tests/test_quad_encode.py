@@ -114,3 +114,32 @@ def test_quad_z_is_not_additive():
 def test_quad_requires_3d():
     with pytest.raises(ValueError):
         HashEncoding(n_dims=2, hash_mode="quad")
+
+
+@pytest.mark.parametrize("mode", ["quad", "lattice"])
+def test_exact_bwd_chunked_scatter_matches_unchunked(mode, monkeypatch):
+    """The size > SCATTER_ROW_CHUNK branch of the exact backward
+    (chunked destination scatter + drop-row sentinel + concatenated
+    fold) must produce the same table gradient as the single-scatter
+    branch; shrink the chunk cap so toy levels exercise it
+    (ADVICE r4: the production log2=19 path was untested)."""
+    from synerfgine_tpu.nn import hash_encoding as he
+
+    enc = HashEncoding(n_levels=4, n_features_per_level=2,
+                       log2_hashmap_size=9, base_resolution=4,
+                       per_level_scale=2.0, n_dims=3, hash_mode=mode)
+    key = jax.random.PRNGKey(3)
+    table = enc.init(key, scale=0.5)
+    x = jax.random.uniform(jax.random.fold_in(key, 1), (257, 3))
+    u = jnp.zeros((enc.n_levels, x.shape[0]))
+
+    def loss(tb):
+        out = exact_encode(enc, tb, x, u)
+        return jnp.sum(jnp.sin(3.0 * out))
+
+    g_unchunked = jax.grad(loss)(table)
+    # largest level is 2^9 = 512 rows; cap 128 forces 4 chunks
+    monkeypatch.setattr(he, "SCATTER_ROW_CHUNK", 128)
+    g_chunked = jax.grad(loss)(table)
+    np.testing.assert_allclose(np.asarray(g_chunked),
+                               np.asarray(g_unchunked), atol=1e-5)
