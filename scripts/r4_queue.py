@@ -3,16 +3,24 @@
 Stages (each probes the relay, runs in a subprocess with a timeout, and
 skips itself when its artifact already exists — resumable):
 
-  ab      ds2 1024-step PSNR A/Bs: skipzero, quad, marchskip, fp32mlp
-  hybrid  720p/1080p hybrid frame sweep on the trained ds1 snapshot
-  fox     fox scene ladder (big-aabb + OpenCV lens artifact)
-  orbit   lego orbit frames from the ds1 snapshot
-  trace   fresh jax.profiler trace of a steady train block
-  mosaic  Pallas VMEM gather re-test (bounded; hang-safe)
-  cache   persistent-compile-cache diagnosis
-  bench   bench.py (writes the round JSON)
+  conefix   +512-step fixed-stepping resume of the cone-marched ladder
+  evalchunk EVAL_CHUNK 4096-vs-16384 eval pricing (must precede ab so
+            stage_ab's adoption gate has data)
+  ab        ds1 512-step PSNR A/Bs: quadexact, exact, skipzero, quad,
+            fp32mlp
+  abperf    ds2+ds1 step-time A/Bs: marchskip, spanfit
+  hybrid    720p/1080p hybrid frame sweep on the trained ds1 snapshot
+  fox       fox scene ladder (big-aabb + OpenCV lens artifact)
+  orbit     lego orbit frames from the ds1 snapshot
+  trace     fresh jax.profiler trace of a steady train block
+  mosaic    Pallas VMEM gather re-test (bounded; hang-safe)
+  cache     persistent-compile-cache diagnosis
+  bench     bench.py (writes the round JSON)
 
 Usage: python scripts/r4_queue.py [stage ...]
+SUPERSEDED in round 5 by scripts/r5_queue.py (kept for the artifact
+trail; the default stage list now includes every registered stage in
+dependency order — ADVICE r4 #1).
 """
 from __future__ import annotations
 
@@ -301,8 +309,9 @@ STAGES = {"conefix": stage_conefix, "ab": stage_ab, "abperf": stage_ab_perf, "hy
           "cache": stage_cache, "bench": stage_bench}
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["ab", "abperf", "hybrid", "fox", "orbit",
-                             "trace", "mosaic", "cache", "bench"]
+    names = sys.argv[1:] or ["conefix", "evalchunk", "ab", "abperf",
+                             "hybrid", "fox", "orbit", "trace", "mosaic",
+                             "cache", "bench"]
     for s in names:
         log(f"=== stage {s} ===")
         STAGES[s]()

@@ -316,6 +316,10 @@ class Engine:
 
         t0 = time.time()
         syn = self.render_synthetic(cm, zoom)
+        jax.block_until_ready(syn)   # honest per-phase attribution:
+        # dispatches are async, so without a sync the next phase's first
+        # host fetch absorbs this phase's device time (the r4 numbers
+        # booked the whole syn pass under "nerf")
         self.timings["syn"] = time.time() - t0
 
         t0 = time.time()
@@ -334,6 +338,7 @@ class Engine:
                 "depth": jnp.full((nh, nw), MAX_DEPTH),
                 "o": jnp.zeros((nh, nw, 3)), "d": jnp.ones((nh, nw, 3)),
             }
+        jax.block_until_ready(nerf)
         self.timings["nerf"] = time.time() - t0
 
         t0 = time.time()
@@ -346,6 +351,7 @@ class Engine:
             sh = jnp.power(sh, s.nerf_shadow_brightness)
             nerf = {**nerf, "rgb": nerf["rgb"] * sh[..., None],
                     "shadow": sh}
+        jax.block_until_ready(nerf)
         self.timings["nerf_shadow"] = time.time() - t0
 
         # nerf_filter debug views (ERenderMode subset: Shade default,
