@@ -89,3 +89,38 @@ def test_engine_temporal_accumulation_static_camera():
     b = eng.frame()["rgb"]  # same camera: accumulated
     assert eng._acc_cam is not None
     assert np.isfinite(b).all()
+
+
+@pytest.mark.fast
+def test_default_camera_frames_shipped_scene():
+    """Camera parity: scene 'view' is a view DIRECTION and 'zoom' the
+    eye distance (set_view_dir/set_look_at/set_scale,
+    testbed.cu:405-425), fov fixed at 50.625 deg on the y axis
+    (testbed.cu:471,480). Under these rules the armadillo is visible
+    from its scene's default camera; the round-4 eye-at-distance-1 +
+    focal-scaled-by-zoom form framed it fully out of view."""
+    import pathlib
+
+    from synerfgine_tpu.hybrid.scene import load_scene_json
+
+    scene_json = pathlib.Path(
+        "/root/reference/scripts/virtual_desc/armadillo.json")
+    if not scene_json.exists():
+        pytest.skip("reference scene not available")
+    cfg = NGPNetworkConfig(
+        encoding=HashGridConfig(n_levels=2, n_features_per_level=2,
+                                log2_hashmap_size=8, base_resolution=4,
+                                per_level_scale=2.0),
+        network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+        rgb_network=MLPConfig(n_neurons=16, n_hidden_layers=1),
+    )
+    net = NerfNetwork(cfg)
+    grid = OccupancyGrid(1)
+    scene = load_scene_json(str(scene_json))
+    scene.settings.show_nerf = False
+    scene.settings.shadow_on_nerf = False
+    eng = Engine(net, net.init(jax.random.PRNGKey(0)), grid, grid.init(),
+                 scene, width=80, height=46)
+    out = eng.frame()
+    hit_frac = float(np.asarray(out["syn"]["hit"]).mean())
+    assert hit_frac > 0.02, f"armadillo out of frame (hit {hit_frac})"
