@@ -34,14 +34,14 @@ def evaluate_views(
     results = []
     n = dataset.n_images if n_views is None else min(n_views, dataset.n_images)
     if chunk is None:
-        # dispatch count is a first-order eval cost through the remote
-        # relay (~0.3 s latency+fetch per chunk on top of compute —
-        # 157 dispatches/view at 800x800/4096); bigger chunks amortize
-        # it. Overridable (EVAL_CHUNK) so the win can be measured on
-        # chip before changing the default shape fleet-wide.
+        # 16384-px chunks measured 167.9 s/view vs 227.5 at 4096 on the
+        # v5e chip at IDENTICAL PSNR (25.519 vs 25.516 — round-5
+        # evalchunk pricing, docs/experiments/evalchunk_r5.json): fewer
+        # relay dispatches AND better VPU utilization per while-loop
+        # iteration. Still overridable via EVAL_CHUNK.
         import os
 
-        chunk = int(os.environ.get("EVAL_CHUNK", "4096"))
+        chunk = int(os.environ.get("EVAL_CHUNK", "16384"))
     for i in range(n):
         t0 = time.time()
         out = trainer.render_image(

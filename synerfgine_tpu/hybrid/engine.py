@@ -78,6 +78,13 @@ class Engine:
             shadow_samples=s.shadow_samples, lens_size=s.lens_size,
             depth_offset=s.depth_offset, shadow_factor=s.shadow_factor,
             show_nerf_shadow=s.shadow_on_virtual_obj,
+            # the reference's n_steps counts skip-DDA iterations over
+            # OCCUPIED voxels (default m_n_steps=8, raytracer.cuh:158 —
+            # spatial resolution unbounded because empty space is
+            # DDA-advanced); our vectorized ladder counts FIXED probes
+            # over [0, light_d], so 8 probes per reference step keeps
+            # comparable shadow resolution (64 at the default)
+            n_shadow_steps=8 * max(1, s.n_shadow_steps),
         )
         self.world = scene.pack_device()
         self.key = jax.random.PRNGKey(PT_SEED)
