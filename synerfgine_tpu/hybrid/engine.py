@@ -179,7 +179,10 @@ class Engine:
             (np.arange(w, dtype=np.float32) + 0.5) / w,
             (np.arange(h, dtype=np.float32) + 0.5) / h), -1).reshape(-1, 2)
         focal = self._focal(self.nerf_res, zoom)
-        chunk = 1 << 12
+        # 16384-px chunks: same windowed-march physics as eval, where
+        # this size measured 26% faster per view at identical PSNR
+        # (docs/experiments/evalchunk_r5.json)
+        chunk = 1 << 14
         outs = {"rgb": [], "alpha": [], "depth": [], "o": [], "d": []}
         t_max_flat = syn_depth_lowres.reshape(-1)
         n = uv.shape[0]
