@@ -103,11 +103,14 @@ def main(stage: str):
             o, d, world["tris"][:128])
         t.block_until_ready()
     elif stage == "bvh":
-        from synerfgine_tpu.geometry.bvh import bvh_traverse
-        nodes = {"lo": world["bvh_lo"], "hi": world["bvh_hi"],
-                 "left": world["bvh_left"], "right": world["bvh_right"],
-                 "first": world["bvh_first"], "count": world["bvh_count"],
-                 "tris": world["tris"]}
+        # build nodes explicitly: pack_device only carries bvh_* above
+        # BRUTE_FORCE_MAX_TRIS, and armadillo (995) is brute-routed
+        # since the round-5 threshold revert
+        from synerfgine_tpu.geometry.bvh import TriangleBvh, bvh_traverse
+        bvh = TriangleBvh(np.asarray(world["tris"]))
+        nodes = {"lo": bvh.bounds_lo, "hi": bvh.bounds_hi,
+                 "left": bvh.left, "right": bvh.right,
+                 "first": bvh.first, "count": bvh.count, "tris": bvh.tris}
         t, tri, _, _ = jax.jit(bvh_traverse)(nodes, o, d)
         t.block_until_ready()
     elif stage == "ladder":
@@ -132,6 +135,11 @@ def main(stage: str):
     elif stage in ("trace888", "chunk8k", "chunk16k", "chunk32k",
                    "chunk64k", "trace888bf", "bf8k", "bf16k"):
         if stage.startswith("bf") or stage.endswith("bf"):
+            # strip any BVH arrays -> brute-force routing. NOTE: since
+            # the BRUTE_FORCE_MAX_TRIS 512->4096 revert, pack_device no
+            # longer BVH-routes armadillo, so trace888 == trace888bf on
+            # this scene; to measure the BVH trace path add bvh_* nodes
+            # built as in the 'bvh' stage.
             world = {k: v for k, v in world.items()
                      if not k.startswith("bvh_")}
         tr = tracer(samples=8, bounces=2, shadow_samples=8)

@@ -105,7 +105,10 @@ def eval_chunk_env():
 
 def stage_evalchunk():
     out = EXP / "evalchunk_r5.json"
-    if out.exists():
+    # done only when BOTH chunk rows landed (a timeout on the second
+    # config must not mark the stage complete — resumability)
+    if out.exists() and len({r["eval_chunk"] for r in
+                             json.loads(out.read_text())}) >= 2:
         log("evalchunk: already done")
         return
     snap = best_snapshot()
@@ -208,9 +211,14 @@ def stage_ladder():
 
 def stage_hybrid():
     out = EXP / "hybrid_sweep_r5.json"
-    if out.exists() and json.loads(out.read_text()):
-        log("hybrid: already done")
-        return
+    # done only when both resolutions landed (4 sweep configs at 720p +
+    # 1 at 1080p); a partial write must not mark the stage complete
+    if out.exists():
+        rows = json.loads(out.read_text())
+        if {r["metric"] for r in rows} >= {"hybrid_frame_ms_720p",
+                                           "hybrid_frame_ms_1080p"}:
+            log("hybrid: already done")
+            return
     snap = best_snapshot()
     if snap is None:
         log("hybrid: no snapshot")

@@ -342,7 +342,13 @@ class OccupancyGrid:
                                              jnp.abs(py - 0.5)),
                                  jnp.abs(pz - 0.5))
             _, e = jnp.frexp(jnp.maximum(maxval, 1e-12))
-            mip = jnp.clip(e + 1, 0, self.max_cascade)
+            # clip to the LAST REAL cascade plane (n_cascades can be
+            # smaller than max_cascade+1 when aabb_scale >= 2^8): the
+            # flat take() below has no per-axis clamping, and jnp.take's
+            # default out-of-bounds fill is True for bools — an OOB mip
+            # would read "occupied everywhere" instead of the clamped
+            # plane the advanced-indexing form used
+            mip = jnp.clip(e + 1, 0, self.n_cascades - 1)
             scale = jnp.exp2(-mip.astype(jnp.float32))
             sx = (px - 0.5) * scale + 0.5
             sy = (py - 0.5) * scale + 0.5

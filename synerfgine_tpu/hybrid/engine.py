@@ -213,7 +213,13 @@ class Engine:
     def _render_syn_chunk(self, uv, cm, focal, world, key, res, bitfield):
         """One jitted program per chunk: ray gen + path trace + debug-view
         select (keeping ray gen inside the jit avoids per-chunk eager
-        dispatches through the device relay)."""
+        dispatches through the device relay).
+
+        NOTE: scene.settings (syn_filter here; shadow brightness/
+        threshold in _shadow_map_chunk) are captured AT FIRST TRACE —
+        engines are cheap, construct a new one per settings config (the
+        exp_hybrid sweep pattern) rather than mutating settings on a
+        live engine."""
         rays = cam.uv_to_ray(uv, cm, res, focal)
         d_norm = rays.d / jnp.linalg.norm(rays.d, axis=-1, keepdims=True)
         out = self.tracer._trace_impl(rays.o, d_norm, world, bitfield, key)
@@ -226,7 +232,15 @@ class Engine:
         Chunk 8192: the full-settings trace program verified on the v5e
         chip up to 32768 rays and crashed the TPU worker at 65536
         (r5_hybrid_probe chunk64k); 8192 keeps the dense (R, T)
-        brute-force temps ~100 MB with headroom."""
+        brute-force temps ~100 MB with headroom at the armadillo's 995
+        tris. For bigger BRUTE-FORCED scenes the chunk shrinks to hold
+        the verified (rays x tris) pair count (~16M, half the 32.6M
+        verified-good point); BVH-routed worlds don't build (R, T)."""
+        n_tris = int(self.world["tris"].shape[0])
+        if "bvh_lo" not in self.world:
+            pair_budget = 16 << 20
+            chunk = max(1 << 10, min(chunk, pair_budget // max(n_tris, 1)
+                                     // 1024 * 1024))
         w, h = self.syn_res
         uv = np.stack(np.meshgrid(
             (np.arange(w, dtype=np.float32) + 0.5) / w,

@@ -206,6 +206,7 @@ class RenderSettings:
             "shadow_samples": "shadow_samples",
             "syn_shadow_samples": "syn_shadow_samples",
             "nerf_shadow_samples": "nerf_shadow_samples",
+            "n_shadow_steps": "n_shadow_steps",
             "lens_size": "lens_size", "depth_offset": "depth_offset",
             "syn_filter": "syn_filter", "nerf_filter": "nerf_filter",
             "smooth_kernel_size": "smooth_kernel_size",
