@@ -121,17 +121,18 @@ def main():
 
         cam0 = _np.asarray(trainer.xforms[0])
         infer = trainer.inference_params(state)
-        # chunk 8192: the relay has a ~27 ms per-dispatch floor, so
-        # 800x800 at the default 2048-px chunks would pay ~9 s of pure
-        # dispatch; 79 chunks keeps the frame device-bound
+        # chunk 16384: priced on chip in round 5 — 26% faster per view
+        # than 4096 at identical PSNR (docs/experiments/
+        # evalchunk_r5.json); also amortizes the relay's ~27 ms
+        # per-dispatch floor over 40 dispatches at 800x800
         for spp in (1, 8):
             trainer.render_image(infer, cam0, width=800, height=800,
                                  grid_state=state.grid, spp=spp,
-                                 chunk=8192)
+                                 chunk=16384)
             t0 = time.time()
             trainer.render_image(infer, cam0, width=800, height=800,
                                  grid_state=state.grid, spp=spp,
-                                 chunk=8192)
+                                 chunk=16384)
             frame_s = time.time() - t0
             render[f"render_ms_spp{spp}"] = round(frame_s * 1e3, 1)
             render[f"render_fps_spp{spp}"] = round(1.0 / frame_s, 2)
