@@ -84,6 +84,7 @@ def _build_trainer(args, dataset):
                                           False),
         march_skip_steps=getattr(args, "march_skip", 0),
         fit_march_span=getattr(args, "fit_march_span", False),
+        adapt_kept=getattr(args, "adapt_kept", False),
         scan_block_steps=getattr(args, "scan_block", None),
         sharpness_weighted=getattr(args, "sharpness_weighted", False),
     )
@@ -500,6 +501,11 @@ def main(argv=None):
                     help="coarse first-hit pre-pass + dense march of this "
                          "many steps (0 = full 1024-step march); the "
                          "steps must cover the scene's occupied span")
+    sp.add_argument("--adapt-kept", action="store_true",
+                    help="adapt the ray count on the post-termination "
+                         "(compacted) sample count like the reference's "
+                         "update_after_training, with a 2x generation "
+                         "capacity — ~1.6x more rays supervised per step")
     sp.add_argument("--fit-march-span", action="store_true",
                     help="clamp the dense training march to a "
                          "conservative stepping-span bound computed from "

@@ -37,6 +37,12 @@ class CompactedComposite(NamedTuple):
     depth: jnp.ndarray          # (R,) expected termination distance
     opacity: jnp.ndarray        # (R,)
     transmittance: jnp.ndarray  # (R,) T after the last live sample
+    n_live: jnp.ndarray         # () int32 — samples whose incoming T was
+    # still above the cut: the reference's compacted_numsteps count
+    # (testbed_nerf.cu:1064-1067 counts steps until T < EPSILON), i.e.
+    # the samples that can carry gradient. Ray adaptation under
+    # adapt_kept targets THIS count (update_after_training adapts on
+    # numsteps_counter_compacted, testbed_nerf.cu:3276-3293)
 
 
 def composite_compacted(
@@ -74,5 +80,6 @@ def composite_compacted(
         jnp.where(live, od, 0.0), ray, num_segments=R))
     if T0 is not None:
         T_final = T_final * T0
+    n_live = jnp.sum((live & comp_in.slot_valid).astype(jnp.int32))
     return CompactedComposite(rgb=rgb, depth=depth, opacity=opacity,
-                              transmittance=T_final)
+                              transmittance=T_final, n_live=n_live)

@@ -167,6 +167,7 @@ class NerfTrainer:
         fit_march_span: bool = False,
         spmd_axis: str | None = None,
         n_shards: int = 1,
+        adapt_kept: bool = False,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -225,6 +226,22 @@ class NerfTrainer:
         # also aligns train and eval sample positions exactly.
         self.snap_to_pixel_centers = snap_to_pixel_centers
         self.remat = remat
+        # adapt_kept: adapt the ray count on the POST-TERMINATION sample
+        # count (the reference's numsteps_counter_compacted — samples
+        # until T < EPSILON, testbed_nerf.cu:1064-1067 — is what
+        # update_after_training divides by, testbed_nerf.cu:3276-3293)
+        # instead of the generated occupied count. The reference's
+        # generation buffer is 16x the target (testbed_nerf.cu:3534), so
+        # each of its steps supervises ~1.6x MORE RAYS than a
+        # generated-count adapter at the same 2^18 target; under this
+        # flag the march capacity doubles (static) so the extra
+        # generated samples fit, and whole-ray reservation drop +
+        # loss exclusion still guard overflow beyond 2x.
+        self.adapt_kept = adapt_kept
+        if adapt_kept and not (use_grid and compacted_composite):
+            raise ValueError(
+                "adapt_kept requires the grid path with the compacted "
+                "composite (the live-sample count comes from it)")
         # composite on the compacted batch (segmented scans) instead of
         # scatter_back to (R, K) + dense composite — bit-equivalent
         # (tests/test_compacted_composite.py), ~16x fewer HBM
@@ -529,17 +546,22 @@ class NerfTrainer:
             if active is not None:
                 samples = samples._replace(
                     valid=samples.valid & active[:, None])
+            # march/network capacity: 2x the target when adapting on the
+            # kept count, so the ~1.6x generated-to-kept ratio fits
+            # without pervasive whole-ray drops (see adapt_kept in
+            # __init__; the reference's buffer is 16x, testbed_nerf.cu:3534)
+            cap = batch_size * (2 if self.adapt_kept else 1)
             if self.segment_compaction:
                 comp_in = compact_samples_segmented(
-                    samples, dirs_warped, batch_size, whole_rays=True)
+                    samples, dirs_warped, cap, whole_rays=True)
             else:
                 comp_in = compact_samples(samples, dirs_warped,
-                                          batch_size, whole_rays=True)
+                                          cap, whole_rays=True)
             K = (self.march_skip_steps if self.march_skip_steps > 0
                  else self.n_march_steps)
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(
-                k_u, (self.network.pos_encoding.n_levels, batch_size))
+                k_u, (self.network.pos_encoding.n_levels, cap))
             # rays in the loss: survived the capacity reservation AND
             # (unless the envmap learns from empty rays) have >=1 sample
             kept = (comp_in.ray_kept if self.train_envmap
@@ -610,7 +632,13 @@ class NerfTrainer:
                     mask = depth_gt > 0
                     dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
                     loss = loss + self.depth_supervision_lambda * ray_mean(dl)
-                return loss, per_ray
+                # adaptation count rides the aux: under adapt_kept it is
+                # the composite's live-sample count (known only after
+                # the density forward), else the generated occupied count
+                n_eff = (comp.n_live
+                         if self.adapt_kept and self.compacted_composite
+                         else comp_in.n_valid)
+                return loss, (per_ray, n_eff)
 
             n_samples = comp_in.n_valid
         else:
@@ -648,11 +676,13 @@ class NerfTrainer:
                     mask = depth_gt > 0
                     dl = jnp.where(mask, (comp.depth - depth_gt) ** 2, 0.0)
                     loss = loss + self.depth_supervision_lambda * ray_mean(dl)
-                return loss, per_ray
+                return loss, (per_ray, jnp.sum(samples.valid))
 
             n_samples = jnp.sum(samples.valid)
 
-        (loss, per_ray), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (per_ray, n_eff)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        n_samples = n_eff if self.adapt_kept else n_samples
         return loss, grads, n_samples, (img_idx, uv, per_ray)
 
     def loss_and_grads_camopt(self, params, cam_params: CameraOptParams,

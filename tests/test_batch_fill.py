@@ -139,3 +139,36 @@ def test_train_adaptive_exact_count():
     r = tr._adaptive_rays
     assert 512 <= r <= 1 << 16
     assert np.isfinite(losses[-1])
+
+
+def test_adapt_kept_counts_live_samples():
+    """adapt_kept reports the POST-TERMINATION (compacted) sample count
+    (testbed_nerf.cu:1064-1067 / 3276-3293 semantics): never more than
+    the generated occupied count, and the generation capacity doubles
+    so the kept target can fill without whole-ray drops."""
+    key = jax.random.PRNGKey(5)
+    tr = _tiny_trainer()
+    st = tr.init(jax.random.PRNGKey(0))
+    # a few steps so densities produce real termination
+    st, _ = tr.train(st, 4, adaptive_rays=False)
+    _, _, n_gen, _ = tr.loss_and_grads(st.params, st.grid, key)
+
+    trk = _tiny_trainer(adapt_kept=True)
+    stk = trk.init(jax.random.PRNGKey(0))
+    stk, _ = trk.train(stk, 4, adaptive_rays=False)
+    loss, grads, n_kept, _ = trk.loss_and_grads(stk.params, stk.grid, key)
+    assert int(n_kept) <= int(n_gen)
+    assert int(n_kept) > 0
+    assert np.isfinite(float(loss))
+
+    # grads stay finite and nonzero (the doubled-capacity batch must not
+    # disturb the loss/grad path)
+    gh = np.asarray(grads.hash_table)
+    assert np.isfinite(gh).all() and (gh != 0).any()
+
+
+def test_adapt_kept_requires_compacted_grid_path():
+    with pytest.raises(ValueError):
+        _tiny_trainer(adapt_kept=True, use_grid=False)
+    with pytest.raises(ValueError):
+        _tiny_trainer(adapt_kept=True, compacted_composite=False)
