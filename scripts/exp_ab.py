@@ -58,6 +58,11 @@ VARIANTS = {
     # skip_zero_grad): without it, stale momentum keeps moving the ~91%
     # of rows the stochastic backward did NOT touch this step
     "skipzero": {"train": "--adam-skip-zero", "eval": ""},
+    # adapt rays on the POST-TERMINATION (compacted) count with a 2x
+    # generation capacity — the reference's update_after_training
+    # semantics (testbed_nerf.cu:3276-3293, buffer 16x at :3534);
+    # supervises ~1.6x more rays per step at ~2x network batch cost
+    "adaptkept": {"train": "--adapt-kept", "eval": ""},
 }
 
 
