@@ -32,6 +32,8 @@ variant = sys.argv[1]
 N = 1 << 15          # gathers per call
 T = 1 << 13          # table rows (VMEM-resident: 8192 x 4 fp32 = 128 KB)
 F = 4
+if variant == "same_shape":
+    N = T            # the only shape the mosaic gather lowering accepts
 
 def kernel(tbl_ref, idx_ref, out_ref):
     tbl = tbl_ref[...]
@@ -47,6 +49,14 @@ def kernel(tbl_ref, idx_ref, out_ref):
         flat = tbl.reshape(-1)
         cols = jax.lax.broadcasted_iota(jnp.int32, (N, F), 1)
         out_ref[...] = flat[idx[:, None] * F + cols]
+    elif variant == "same_shape":
+        # the r5 take_along failure is an assert
+        # `indices.shape == input.shape + (1,)` — i.e. the mosaic
+        # gather lowers ONLY when the gather count equals the table
+        # rows. Shape the probe that way (N == T): if this compiles,
+        # hash gathers can tile into table-sized sample blocks.
+        idx2 = jnp.broadcast_to(idx[:, None], (N, F))
+        out_ref[...] = jnp.take_along_axis(tbl, idx2, axis=0)
     else:
         raise SystemExit(2)
 
@@ -106,7 +116,8 @@ def run_variant(name: str, timeout_s: int = 300) -> dict:
 
 
 def main():
-    rows = [run_variant(v) for v in ("take_along", "flat2d", "plain")]
+    rows = [run_variant(v) for v in ("same_shape", "take_along",
+                                     "flat2d", "plain")]
     print(json.dumps({"metric": "mosaic_vmem_gather",
                       "n_gathers": 1 << 15, "variants": rows}))
 
