@@ -84,7 +84,9 @@ def _build_trainer(args, dataset):
                                           False),
         march_skip_steps=getattr(args, "march_skip", 0),
         fit_march_span=getattr(args, "fit_march_span", False),
-        adapt_kept=getattr(args, "adapt_kept", False),
+        adapt_kept=(getattr(args, "adapt_kept", False)
+                    or getattr(args, "adapt_two_pass", False)),
+        adapt_two_pass=getattr(args, "adapt_two_pass", False),
         scan_block_steps=getattr(args, "scan_block", None),
         sharpness_weighted=getattr(args, "sharpness_weighted", False),
     )
@@ -506,6 +508,13 @@ def main(argv=None):
                          "(compacted) sample count like the reference's "
                          "update_after_training, with a 2x generation "
                          "capacity — ~1.6x more rays supervised per step")
+    sp.add_argument("--adapt-two-pass", action="store_true",
+                    help="adapt_kept with the reference's two-phase "
+                         "shape: no-grad density pass on the 2x "
+                         "generation buffer, differentiable fwd+bwd on "
+                         "a re-compacted 1x live batch (implies "
+                         "--adapt-kept; recovers most of its 2x step "
+                         "cost)")
     sp.add_argument("--fit-march-span", action="store_true",
                     help="clamp the dense training march to a "
                          "conservative stepping-span bound computed from "

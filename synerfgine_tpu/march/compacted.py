@@ -83,3 +83,85 @@ def composite_compacted(
     n_live = jnp.sum((live & comp_in.slot_valid).astype(jnp.int32))
     return CompactedComposite(rgb=rgb, depth=depth, opacity=opacity,
                               transmittance=T_final, n_live=n_live)
+
+
+def live_mask_compacted(
+    raw_sigma: jnp.ndarray,        # (S,) raw (pre-activation) density
+    comp_in: CompactedSamples,
+    R: int,
+    min_transmittance: float = TRAIN_T_EPS,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-slot liveness under the composite's early-termination cut.
+
+    Identical T_pre math to `composite_compacted` (a sample is live iff
+    its INCOMING transmittance is above the cut — the reference's
+    compacted_numsteps rule, testbed_nerf.cu:1064-1067), computed from a
+    density-only forward so a two-pass trainer can re-compact the live
+    samples before the differentiable pass. od >= 0 makes T_pre
+    non-increasing along a ray, so the live samples of every ray are a
+    PREFIX — dropping the dead suffix cannot change any earlier T_pre,
+    which is what makes the re-compacted composite bit-equivalent.
+
+    Returns (live (S,) bool incl. the slot_valid mask, n_live () int32).
+    """
+    sigma = jnp.exp(jnp.clip(raw_sigma.astype(jnp.float32), -15.0, 15.0))
+    sigma = jnp.where(comp_in.slot_valid, sigma, 0.0)
+    od = sigma * comp_in.dt
+    ray = comp_in.ray_idx
+    excl = jnp.cumsum(od) - od
+    ray_tot = jax.ops.segment_sum(od, ray, num_segments=R)
+    before = jnp.cumsum(ray_tot) - ray_tot
+    T_pre = jnp.exp(-(excl - before[ray]))
+    live = (T_pre > min_transmittance) & comp_in.slot_valid
+    return live, jnp.sum(live.astype(jnp.int32))
+
+
+def recompact_live(
+    comp_in: CompactedSamples,
+    live: jnp.ndarray,             # (S,) bool from live_mask_compacted
+    R: int,
+    out_size: int,
+) -> tuple[CompactedSamples, jnp.ndarray]:
+    """Second-stage compaction: keep only LIVE samples, whole-ray
+    reservation at `out_size` (a ray whose live samples don't all fit
+    contributes nothing — the same atomic-reservation semantics as
+    `compact_samples(whole_rays=True)`, testbed_nerf.cu:960-968, now
+    applied at the reference's COMPACTED batch granularity: its backward
+    runs on rays compacted to compacted_numsteps in the 2^18 batch,
+    testbed_nerf.cu:3276-3293).
+
+    Slot order is preserved, so the (ray, t) ordering invariant holds.
+    The returned `.valid` / `.target_slot` still describe the ORIGINAL
+    dense (R, K) layout and are NOT remapped — callers must composite
+    with `composite_compacted` (never `scatter_back`). `.n_valid` is the
+    pre-reservation live demand (the adaptation feedback count).
+
+    Returns (CompactedSamples sized out_size, ray_has_live (R,) bool).
+    """
+    S = comp_in.xs.shape[0]
+    counts = jax.ops.segment_sum(
+        live.astype(jnp.int32), comp_in.ray_idx, num_segments=R)
+    fits = jnp.cumsum(counts) <= out_size
+    keep = live & fits[comp_in.ray_idx]
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    keep = keep & (pos < out_size)
+    slot = jnp.where(keep, pos, out_size)
+    inv = jnp.zeros((out_size + 1,), jnp.int32).at[slot].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
+    )[:out_size]
+    n_filled = pos[-1] + 1
+    ray_kept2 = fits | (counts == 0)
+    new = CompactedSamples(
+        xs=comp_in.xs[inv],
+        dirs=comp_in.dirs[inv],
+        dt=comp_in.dt[inv],
+        t=comp_in.t[inv],
+        ray_idx=comp_in.ray_idx[inv],
+        target_slot=comp_in.target_slot,
+        valid=comp_in.valid,
+        n_valid=jnp.sum(live.astype(jnp.int32)),
+        slot_valid=jnp.arange(out_size, dtype=jnp.int32)
+        < jnp.minimum(n_filled, out_size),
+        ray_kept=comp_in.ray_kept & ray_kept2,
+    )
+    return new, counts > 0

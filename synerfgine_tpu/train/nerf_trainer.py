@@ -32,7 +32,11 @@ from ..core.constants import (
 from ..core.types import BoundingBox, Ray
 from ..data.nerf_loader import NerfDataset
 from ..grid.occupancy import OccupancyGrid, OccupancyGridState
-from ..march.compacted import composite_compacted
+from ..march.compacted import (
+    composite_compacted,
+    live_mask_compacted,
+    recompact_live,
+)
 from ..march.composite import composite_rays
 from ..march.dda import (
     compact_samples,
@@ -168,6 +172,7 @@ class NerfTrainer:
         spmd_axis: str | None = None,
         n_shards: int = 1,
         adapt_kept: bool = False,
+        adapt_two_pass: bool = False,
     ):
         self.network = network
         if n_extra_dims and network.n_extra_dims != n_extra_dims:
@@ -242,6 +247,22 @@ class NerfTrainer:
             raise ValueError(
                 "adapt_kept requires the grid path with the compacted "
                 "composite (the live-sample count comes from it)")
+        # adapt_two_pass: recover adapt_kept's 2x step cost with the
+        # reference's actual two-phase shape (generate at padding
+        # capacity, train on a COMPACTED 2^18 batch,
+        # testbed_nerf.cu:3272-3296 + :3534): pass 1 runs a no-grad
+        # density-only forward (aligned-pair gather — half the encode
+        # transactions) on the 2x generation buffer to get the
+        # early-termination live mask, then `recompact_live` packs the
+        # live samples (a per-ray PREFIX, see live_mask_compacted) into
+        # a tight batch_size buffer and the differentiable fwd+bwd runs
+        # at 1x. Composite outputs are bit-equivalent for kept rays;
+        # the raw-density regularizers now cover exactly the compacted
+        # batch — the reference's own coverage (its regularizers run on
+        # the compacted samples, testbed_nerf.cu:1210-1265).
+        self.adapt_two_pass = adapt_two_pass
+        if adapt_two_pass and not adapt_kept:
+            raise ValueError("adapt_two_pass requires adapt_kept")
         # composite on the compacted batch (segmented scans) instead of
         # scatter_back to (R, K) + dense composite — bit-equivalent
         # (tests/test_compacted_composite.py), ~16x fewer HBM
@@ -559,10 +580,25 @@ class NerfTrainer:
                                           cap, whole_rays=True)
             K = (self.march_skip_steps if self.march_skip_steps > 0
                  else self.n_march_steps)
+            n_live_pre = None
+            if self.adapt_two_pass:
+                # pass 1 (no grad): density-only forward on the 2x
+                # generation buffer via the aligned-pair gather, then
+                # pack the live prefix of every ray into a tight
+                # batch_size buffer for the differentiable pass
+                xs_gen = jnp.clip(
+                    self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
+                raw16 = jax.lax.stop_gradient(
+                    self.network.density(params, xs_gen, paired=True))
+                live, n_live_pre = live_mask_compacted(
+                    raw16[:, 0], comp_in, R, TRAIN_T_EPS)
+                comp_in, _ray_has_live = recompact_live(
+                    comp_in, live, R, batch_size)
+                cap = batch_size
             xs_unit = jnp.clip(self.aabb.relative_pos(comp_in.xs), 0.0, 1.0)
             grad_u = jax.random.uniform(
                 k_u, (self.network.pos_encoding.n_levels, cap))
-            # rays in the loss: survived the capacity reservation AND
+            # rays in the loss: survived the capacity reservation(s) AND
             # (unless the envmap learns from empty rays) have >=1 sample
             kept = (comp_in.ray_kept if self.train_envmap
                     else comp_in.ray_kept & jnp.any(comp_in.valid, axis=1))
@@ -634,10 +670,14 @@ class NerfTrainer:
                     loss = loss + self.depth_supervision_lambda * ray_mean(dl)
                 # adaptation count rides the aux: under adapt_kept it is
                 # the composite's live-sample count (known only after
-                # the density forward), else the generated occupied count
-                n_eff = (comp.n_live
-                         if self.adapt_kept and self.compacted_composite
-                         else comp_in.n_valid)
+                # the density forward — pass 1's pre-reservation demand
+                # under two-pass), else the generated occupied count
+                if n_live_pre is not None:
+                    n_eff = n_live_pre
+                elif self.adapt_kept and self.compacted_composite:
+                    n_eff = comp.n_live
+                else:
+                    n_eff = comp_in.n_valid
                 return loss, (per_ray, n_eff)
 
             n_samples = comp_in.n_valid
