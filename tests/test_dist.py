@@ -57,6 +57,24 @@ def test_sharded_grid_training_runs(lego_dir):
     assert np.isfinite(float(loss))
 
 
+def test_sharded_two_pass_adapt_kept_runs(lego_dir):
+    """The two-pass adapt_kept step (pass-1 density + recompaction, all
+    per-shard under dp) compiles and runs under shard_map — required
+    before it can become the flagship default in the multi-chip path."""
+    ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
+    net = _tiny_network()
+    tr = NerfTrainer(net, ds, n_rays=64, n_march_steps=64, batch_size=1024,
+                     use_grid=True, grid_warmup_steps=2,
+                     grid_update_cadence=4, adapt_kept=True,
+                     adapt_two_pass=True)
+    mesh = make_mesh(8)
+    str_tr = ShardedNerfTrainer(tr, mesh)
+    state = str_tr.init(jax.random.PRNGKey(0))
+    for _ in range(6):
+        state, loss = str_tr.step(state)
+    assert np.isfinite(float(loss))
+
+
 def test_sharded_matches_param_consistency(lego_dir):
     """Replicated params must remain identical across shards after updates."""
     ds = load_nerf_dataset(lego_dir, max_images=2, downscale=16)
