@@ -63,6 +63,11 @@ VARIANTS = {
     # semantics (testbed_nerf.cu:3276-3293, buffer 16x at :3534);
     # supervises ~1.6x more rays per step at ~2x network batch cost
     "adaptkept": {"train": "--adapt-kept", "eval": ""},
+    # adapt_kept with the reference's two-phase shape: no-grad density
+    # pass on the 2x generation buffer, differentiable fwd+bwd on a
+    # re-compacted 1x live batch — same supervision density at a
+    # fraction of the 2.2x single-pass step cost
+    "adapt2p": {"train": "--adapt-two-pass", "eval": ""},
 }
 
 
